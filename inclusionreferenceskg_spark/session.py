@@ -1,0 +1,41 @@
+"""SparkSession construction with the engine's required configs.
+
+Centralizes the settings the pipeline depends on:
+
+* Arrow-batched pandas UDFs (all per-page logic rides on them); batch size
+  kept small because a page row can carry megabytes of text;
+* AQE with skew-join handling on (hot blocking keys and hot reference
+  targets like "this Regulation" are Zipfian by nature);
+* shuffle partitioning sized for the local harness but overridable for
+  cluster runs via normal spark-submit --conf.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "inclusionreferenceskg-spark",
+              master: Optional[str] = None,
+              shuffle_partitions: Optional[int] = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or int(
+        os.environ.get("SPARK_SHUFFLE_PARTITIONS", cpus))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,575 @@
+"""Deterministic linguistic annotator (the sandbox spaCy stand-in).
+
+The reference pipeline runs spaCy ``en_core_web_sm``/``trf`` + coreferee
+(``kg_renderer.py:214-232``); neither is installable here, so this module
+provides a self-contained, rule-based annotator behind the same token
+surface (``tokens.py``): regex tokenizer with reference-mention merging
+(mentions become single ``TAG=REF, POS=PROPN`` tokens exactly like the
+reference's retokenizer, ``reference_detector.py:22-45``), lexicon+suffix
+POS tagging tuned to legal English, a shallow rule dependency parser
+producing the dependency vocabulary the phrase extractor consumes
+(nsubj/nsubjpass/aux/auxpass/neg/dobj/attr/prep/agent/pobj/conj/cc/mark/
+ccomp/advcl/relcl/acl/xcomp/det/amod/compound/poss/advmod), a rule
+lemmatizer, and a nearest-antecedent pronoun coref.
+
+It is deliberately swappable: if spaCy is available in a later environment
+the same ``annotate_node`` contract can be served from a real model inside
+the same pandas UDF.  All lexicons are module-level (compiled once per
+executor).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Optional, Sequence, Tuple
+
+from inclusionreferenceskg_spark.functions.tokens import Sent, Tok, make_doc
+
+_WORD = re.compile(r"\w+(?:[-’']\w+)*|[^\w\s]")
+
+DET = {"the", "a", "an", "this", "these", "those", "such", "each", "any",
+       "all", "no", "every", "its", "their", "his", "her", "our", "your"}
+PRON = {"it", "they", "he", "she", "we", "you", "i", "them", "him", "her",
+        "us", "me", "who", "which", "whom", "what", "itself", "themselves"}
+ADP = {"of", "in", "on", "by", "for", "with", "from", "under", "against",
+       "within", "without", "at", "as", "into", "through", "per", "between",
+       "during", "before", "after", "concerning", "regarding", "pursuant",
+       "about", "via", "upon", "towards", "across", "behind", "above",
+       "below", "near", "over"}
+SCONJ = {"if", "unless", "when", "where", "while", "because", "although",
+         "whether", "except", "that", "since", "insofar", "whereas"}
+CCONJ = {"and", "or", "but", "nor"}
+MODALS = {"shall", "may", "must", "should", "can", "could", "will", "would",
+          "might"}
+BE = {"is", "are", "was", "were", "be", "been", "being", "am"}
+HAVE = {"has", "have", "had", "having"}
+DO = {"does", "do", "did"}
+ADV = {"not", "also", "only", "thereby", "however", "furthermore",
+       "moreover", "therefore", "hereby", "so", "thus", "already", "always",
+       "never", "further"}
+
+#: base-form verb lexicon (legal/web register); morphology derives the rest
+VERB_BASE = {
+    "maintain", "notify", "adopt", "ensure", "request", "process", "publish",
+    "designate", "apply", "contain", "provide", "take", "make", "carry",
+    "act", "inform", "require", "protect", "keep", "collect", "store",
+    "erase", "rectify", "demonstrate", "implement", "monitor", "assess",
+    "comply", "cooperate", "establish", "lay", "refer", "set", "grant",
+    "submit", "transfer", "restrict", "prohibit", "authorise", "authorize",
+    "define", "specify", "include", "exclude", "amend", "repeal", "enter",
+    "give", "use", "mean", "concern", "relate", "constitute", "remain",
+    "become", "need", "seek", "obtain", "receive", "send", "break", "pay",
+    "dictate", "eat", "permit", "affect", "govern", "regulate", "supervise",
+    "communicate", "record", "report", "review", "verify", "examine",
+    "determine", "consider", "deem", "treat", "base", "follow", "accompany",
+    "suspend", "withdraw", "revoke", "impose", "limit", "extend", "exercise",
+}
+
+_IRREGULAR_PAST = {
+    "took": "take", "taken": "take", "kept": "keep", "made": "make",
+    "laid": "lay", "given": "give", "gave": "give", "set": "set",
+    "meant": "mean", "sought": "seek", "sent": "send", "broke": "break",
+    "broken": "break", "paid": "pay", "ate": "eat", "eaten": "eat",
+    "became": "become", "went": "go", "done": "do", "said": "say",
+    "held": "hold", "drawn": "draw", "withdrew": "withdraw",
+    "withdrawn": "withdraw",
+}
+
+_PLURAL_NOT_VERB = set()  # reserved for tuning
+
+
+def lemmatize(word: str, pos: str) -> str:
+    w = word.lower()
+    if pos in ("VERB", "AUX"):
+        if w in _IRREGULAR_PAST:
+            return _IRREGULAR_PAST[w]
+        if w in BE:
+            return "be"
+        if w in HAVE:
+            return "have"
+        if w in DO:
+            return "do"
+        for suffix, repls in (("ies", ("y",)), ("ing", ("", "e")),
+                              ("ied", ("y",)), ("ed", ("", "e")),
+                              ("es", ("", "e")), ("s", ("",))):
+            if w.endswith(suffix) and len(w) > len(suffix) + 2:
+                for r in repls:
+                    cand = w[: -len(suffix)] + r
+                    if cand in VERB_BASE:
+                        return cand
+                    # doubled final consonant: referred -> refer
+                    if len(cand) > 2 and cand[-1] == cand[-2] \
+                            and cand[:-1] in VERB_BASE:
+                        return cand[:-1]
+        return w
+    if pos in ("NOUN", "PROPN"):
+        if w.endswith("ies") and len(w) > 4:
+            return w[:-3] + "y"
+        if w.endswith("ses") or w.endswith("xes") or w.endswith("ches") \
+                or w.endswith("shes"):
+            return w[:-2]
+        if w.endswith("s") and not w.endswith("ss") and not w.endswith("us") \
+                and not w.endswith("is") and len(w) > 3:
+            return w[:-1]
+    return w
+
+
+def _verb_form(word: str) -> Optional[str]:
+    """Return the fine tag if the word is a known verb form, else None."""
+    w = word.lower()
+    if w in _IRREGULAR_PAST:
+        return "VBN"
+    if w in VERB_BASE:
+        return "VB"
+    for suffix, tag in (("ing", "VBG"), ("ied", "VBD"), ("ed", "VBD"),
+                        ("ies", "VBZ"), ("es", "VBZ"), ("s", "VBZ")):
+        if w.endswith(suffix) and len(w) > len(suffix) + 2:
+            for r in ("", "e", "y"):
+                cand = w[: -len(suffix)] + r
+                if cand in VERB_BASE:
+                    return tag
+                if len(cand) > 2 and cand[-1] == cand[-2] \
+                        and cand[:-1] in VERB_BASE:
+                    return tag
+    return None
+
+
+_ADJ_SUFFIX = re.compile(
+    r".{2,}(able|ible|ful|ous|ive|al|ic|ary|ory|less|ent|ant)$")
+
+
+def tokenize_with_mentions(content: str,
+                           mentions: Sequence[Dict]) -> List[Tok]:
+    """Tokenize one node's content; mention spans become single REF tokens
+    (POS=PROPN, TAG=REF) carrying their resolved targets."""
+    toks: List[Tok] = []
+    pos_cursor = 0
+
+    def _plain(segment: str):
+        for m in _WORD.finditer(segment):
+            toks.append(Tok(len(toks), m.group()))
+
+    for mention in sorted(mentions, key=lambda m: m["start"]):
+        s, t = mention["start"], mention["text"]
+        if s < pos_cursor:
+            continue  # overlapping (shouldn't happen: regex is greedy)
+        _plain(content[pos_cursor:s])
+        toks.append(Tok(len(toks), t, pos="PROPN", tag="REF", is_ref=True,
+                        ref_targets=list(mention.get("targets") or [])))
+        pos_cursor = s + len(t)
+    _plain(content[pos_cursor:])
+    return toks
+
+
+def tag(toks: List[Tok]) -> None:
+    """Lexicon + suffix + context POS tagging (in place)."""
+    for k, t in enumerate(toks):
+        if t.is_ref:
+            continue
+        w = t.text
+        lw = w.lower()
+        prev = toks[k - 1] if k else None
+        if not re.search(r"\w", w):
+            t.pos, t.tag = "PUNCT", "."
+        elif re.fullmatch(r"\d+(?:[./]\d+)*", w):
+            t.pos, t.tag = "NUM", "CD"
+        elif lw == "not":
+            t.pos, t.tag = "PART", "RB"
+        elif lw == "to":
+            t.pos, t.tag = "PART", "TO"   # refined in a second pass
+        elif lw in MODALS:
+            t.pos, t.tag = "AUX", "MD"
+        elif lw in BE or lw in HAVE or lw in DO:
+            t.pos, t.tag = "AUX", "VBZ" if lw.endswith("s") else "VB"
+            if lw in ("been", "being"):
+                t.tag = "VBN" if lw == "been" else "VBG"
+        elif lw in DET:
+            t.pos, t.tag = "DET", "DT"
+        elif lw in PRON:
+            t.pos, t.tag = "PRON", "PRP"
+        elif lw in CCONJ:
+            t.pos, t.tag = "CCONJ", "CC"
+        elif lw in SCONJ and lw != "that":
+            t.pos, t.tag = "SCONJ", "IN"
+        elif lw == "that":
+            # clause marker after a verb, determiner otherwise
+            t.pos, t.tag = ("SCONJ", "IN") if prev is not None and \
+                prev.pos in ("VERB", "AUX") else ("DET", "DT")
+        elif lw in ADP:
+            t.pos, t.tag = "ADP", "IN"
+        elif lw in ADV:
+            t.pos, t.tag = "ADV", "RB"
+        else:
+            vtag = _verb_form(w)
+            if vtag is not None:
+                t.pos, t.tag = "VERB", vtag
+            elif lw.endswith("ly") and len(lw) > 3:
+                t.pos, t.tag = "ADV", "RB"
+            elif w[0].isupper() and k > 0 and prev is not None \
+                    and prev.pos != "PUNCT":
+                t.pos, t.tag = "PROPN", "NNP"
+            elif _ADJ_SUFFIX.match(lw):
+                t.pos, t.tag = "ADJ", "JJ"
+            else:
+                t.pos = "NOUN"
+                t.tag = "NNS" if lw.endswith("s") and not lw.endswith("ss") \
+                    else "NN"
+        t.lemma = lemmatize(w, t.pos)
+
+    # context refinements
+    for k, t in enumerate(toks):
+        nxt = toks[k + 1] if k + 1 < len(toks) else None
+        prev = toks[k - 1] if k else None
+        # base verb after a modal/aux ("shall maintain")
+        if t.pos in ("NOUN", "ADJ", "PROPN") and prev is not None and \
+                prev.pos in ("AUX", "PART") and prev.tag in ("MD", "TO", "VB") \
+                and _verb_form(t.text) is None and t.text.islower() \
+                and t.text.isalpha():
+            t.pos, t.tag = "VERB", "VB"
+            t.lemma = lemmatize(t.text, "VERB")
+        # "to" + base verb = infinitival marker, otherwise preposition
+        if t.text.lower() == "to":
+            if nxt is not None and (_verb_form(nxt.text) == "VB"
+                                    or nxt.pos == "VERB"):
+                t.pos, t.tag = "PART", "TO"
+            else:
+                t.pos, t.tag = "ADP", "IN"
+        # past participle after be/have: VBD -> VBN
+        if t.pos == "VERB" and t.tag == "VBD" and prev is not None and \
+                prev.pos in ("AUX", "ADV", "PART"):
+            j = k - 1
+            while j >= 0 and toks[j].pos in ("ADV", "PART"):
+                j -= 1
+            if j >= 0 and toks[j].pos == "AUX":
+                t.tag = "VBN"
+        # reduced relative: "-ed" directly followed by a preposition/particle
+        # is a participle ("the procedure referred to in ...")
+        if t.pos == "VERB" and t.tag == "VBD" and nxt is not None and \
+                (nxt.pos == "ADP" or nxt.tag == "TO"):
+            t.tag = "VBN"
+        # gerund after a preposition or modifying a following noun is nominal
+        # ("of processing activities")
+        if t.pos == "VERB" and t.tag == "VBG" and (
+                (prev is not None and prev.pos in ("ADP", "DET"))
+                or (nxt is not None and nxt.pos in ("NOUN", "PROPN"))):
+            t.pos, t.tag = "NOUN", "NN"
+            t.lemma = lemmatize(t.text, "NOUN")
+        # verb form directly after a determiner is a noun ("the record")
+        if t.pos == "VERB" and prev is not None and prev.pos == "DET":
+            t.pos = "NOUN"
+            t.tag = "NNS" if t.text.lower().endswith("s") else "NN"
+            t.lemma = lemmatize(t.text, "NOUN")
+
+
+_BOUNDARY = {".", ";", "!", "?"}
+
+
+def split_sentences(toks: List[Tok]) -> List[List[Tok]]:
+    sents, cur = [], []
+    for t in toks:
+        cur.append(t)
+        if t.pos == "PUNCT" and t.text in _BOUNDARY:
+            sents.append(cur)
+            cur = []
+    if cur:
+        sents.append(cur)
+    return sents
+
+
+_NP_POS = ("DET", "ADJ", "NUM", "NOUN", "PROPN", "PRON")
+_NP_HEAD_POS = ("NOUN", "PROPN", "PRON")
+
+
+def _parse_sentence(toks: List[Tok]) -> None:
+    """Shallow rule dependency parse (in place, doc-level head indices).
+
+    Produces exactly the dependency surface the extraction rules need;
+    everything unattached falls back to the sentence root.
+    """
+    n = len(toks)
+    if n == 0:
+        return
+    base = toks[0].i
+
+    def L(i: int) -> Tok:          # local index -> token
+        return toks[i]
+
+    # ---- noun-phrase chunking: [det/adj/num/compound]* head ----
+    np_head_of = [None] * n        # local idx -> local head idx of its NP
+    k = 0
+    while k < n:
+        if L(k).pos in _NP_POS and not (L(k).pos == "DET"
+                                        and L(k).text.lower() == "that"
+                                        and L(k).pos == "SCONJ"):
+            j = k
+            while j + 1 < n and L(j + 1).pos in _NP_POS:
+                j += 1
+            # head = last NOUN/PROPN/PRON in the run
+            h = None
+            for m in range(j, k - 1, -1):
+                if L(m).pos in _NP_HEAD_POS:
+                    h = m
+                    break
+            if h is None:
+                k = j + 1
+                continue
+            for m in range(k, j + 1):
+                np_head_of[m] = h
+                if m == h:
+                    continue
+                t = L(m)
+                if t.pos == "DET":
+                    t.dep, t.head_i = "det", base + h
+                elif t.pos == "ADJ":
+                    t.dep, t.head_i = "amod", base + h
+                elif t.pos == "NUM":
+                    t.dep, t.head_i = "nummod", base + h
+                elif m < h:
+                    t.dep, t.head_i = "compound", base + h
+                else:
+                    t.dep, t.head_i = "appos", base + h
+            k = j + 1
+        else:
+            k = k + 1
+
+    np_heads = sorted({h for h in np_head_of if h is not None})
+
+    # ---- verb groups: (AUX|ADV|PART)* VERB, or a lone AUX ----
+    groups: List[Tuple[int, List[int], bool]] = []  # (main, auxes, passive)
+    used = set()
+    k = 0
+    while k < n:
+        if k in used or L(k).pos not in ("AUX", "VERB"):
+            k += 1
+            continue
+        auxes = []
+        while k < n and L(k).pos == "AUX":
+            auxes.append(k)
+            k += 1
+            while k < n and L(k).pos in ("ADV", "PART"):
+                k += 1
+        if k < n and L(k).pos == "VERB" and np_head_of[k] is None:
+            main = k
+        elif auxes:
+            main = auxes.pop()     # copula/modal acts as main verb
+        else:
+            if k < n and L(k).pos == "VERB" and np_head_of[k] is None:
+                main = k
+            else:
+                k += 1
+                continue
+        passive = L(main).tag == "VBN" and any(
+            L(a).lemma == "be" for a in auxes)
+        groups.append((main, auxes, passive))
+        used.update(auxes)
+        used.add(main)
+        k = max(k, main) + 1
+
+    if not groups:
+        # verbless fragment: root = first NP head or first token
+        root_local = np_heads[0] if np_heads else 0
+        root = L(root_local)
+        root.dep, root.head_i = "ROOT", base + root_local
+        for t in toks:
+            if t.dep == "dep":
+                t.head_i = base + root_local
+        return
+
+    root_main = groups[0][0]
+    mains = [g[0] for g in groups]
+
+    # aux/neg attachment
+    for main, auxes, passive in groups:
+        L(main).dep = "ROOT" if main == root_main else "dep"
+        L(main).head_i = base + (main if main == root_main else root_main)
+        for a in auxes:
+            L(a).dep = "auxpass" if (passive and L(a).lemma == "be"
+                                     and a == auxes[-1]) else "aux"
+            L(a).head_i = base + main
+    for k, t in enumerate(toks):
+        if t.text.lower() == "not":
+            nxt_main = next((m for m in mains if m > k), None)
+            if nxt_main is not None:
+                t.dep, t.head_i = "neg", base + nxt_main
+        elif t.pos == "PART" and t.tag == "TO":
+            nxt_main = next((m for m in mains if m > k), None)
+            if nxt_main is not None:
+                t.dep, t.head_i = "aux", base + nxt_main
+
+    # ---- subjects: nearest preceding unconsumed NP head ----
+    consumed_np = set()
+    subj_of = {}
+    for gi, (main, auxes, passive) in enumerate(groups):
+        start = auxes[0] if auxes else main
+        prev_main_end = max((m for m in mains[:gi]), default=-1)
+        cand = [h for h in np_heads
+                if prev_main_end < h < start and h not in consumed_np]
+        if cand:
+            s = cand[-1]
+            # reduced relative: "the procedure referred to in ..." — a bare
+            # VBN directly after an NP is an acl on it, not a main clause
+            if L(main).tag == "VBN" and not auxes and main == s + 1:
+                L(main).dep, L(main).head_i = "acl", base + s
+                continue
+            L(s).dep = "nsubjpass" if passive else "nsubj"
+            if L(s).text.lower() == "there":
+                L(s).dep = "expl"
+            L(s).head_i = base + main
+            consumed_np.add(s)
+            subj_of[main] = s
+
+    # ---- clause linking: mark/ccomp/advcl/relcl/conj/xcomp ----
+    for gi, (main, auxes, passive) in enumerate(groups[1:], 1):
+        if L(main).dep != "dep":
+            continue
+        start = auxes[0] if auxes else main
+        subj = subj_of.get(main)
+        if subj is not None:
+            # scan from the START of the subject's noun phrase
+            np_start = subj
+            while np_start - 1 >= 0 and np_head_of[np_start - 1] == subj:
+                np_start -= 1
+            scan_from = np_start
+        else:
+            scan_from = start
+        j = scan_from - 1
+        while j >= 0 and L(j).pos in ("ADV", "PUNCT"):
+            j -= 1
+        linked = False
+        if j >= 0:
+            t = L(j)
+            prev_main = max((m for m in mains if m < main), default=None)
+            if t.pos == "SCONJ":
+                t.dep = "mark"
+                t.head_i = base + main
+                if prev_main is not None:
+                    L(main).dep = "ccomp" if t.text.lower() == "that" \
+                        else "advcl"
+                    L(main).head_i = base + prev_main
+                    linked = True
+            elif t.pos == "CCONJ":
+                t.dep = "cc"
+                if prev_main is not None:
+                    t.head_i = base + prev_main
+                    L(main).dep = "conj"
+                    L(main).head_i = base + prev_main
+                    linked = True
+            elif t.pos == "PRON" and t.text.lower() in ("which", "who",
+                                                        "whom"):
+                # relative clause on the NP before the pronoun
+                jj = j - 1
+                while jj >= 0 and L(jj).pos == "PUNCT":
+                    jj -= 1
+                if jj >= 0 and np_head_of[jj] is not None:
+                    L(main).dep = "relcl"
+                    L(main).head_i = base + np_head_of[jj]
+                    linked = True
+            elif t.pos == "PART" and t.tag == "TO" and prev_main is not None:
+                L(main).dep = "xcomp"
+                L(main).head_i = base + prev_main
+                linked = True
+        if not linked:
+            prev_main = max((m for m in mains if m < main), default=None)
+            if prev_main is not None:
+                L(main).dep = "ccomp" if any(
+                    L(x).pos == "SCONJ" and L(x).text.lower() == "that"
+                    for x in range(prev_main + 1, start)) else "conj"
+                L(main).head_i = base + prev_main
+
+    # ---- post-verb attachments: objects and prepositional chains ----
+    def attach_np(h: int, head_tok: int, dep: str) -> None:
+        t = L(h)
+        if t.dep == "dep":
+            t.dep, t.head_i = dep, base + head_tok
+
+    for gi, (main, auxes, passive) in enumerate(groups):
+        end = min((m for m in mains if m > main), default=n)
+        # stop at clause boundary introduced by SCONJ too
+        got_dobj = False
+        last_nominal = None        # local idx nouns can host PPs
+        k = main + 1
+        while k < end:
+            t = L(k)
+            if np_head_of[k] is not None and np_head_of[k] == k \
+                    and t.dep == "dep":
+                attach_np(k, main,
+                          "attr" if L(main).lemma == "be" else "dobj")
+                got_dobj = True
+                last_nominal = k
+            elif t.pos == "ADP" and t.dep == "dep":
+                is_agent = passive and t.text.lower() == "by"
+                # PP attaches to an immediately preceding nominal, else verb
+                prev_k = k - 1
+                host = main
+                hdep = "agent" if is_agent else "prep"
+                if not is_agent and prev_k >= 0 \
+                        and np_head_of[prev_k] is not None \
+                        and L(np_head_of[prev_k]).dep != "dep":
+                    host = np_head_of[prev_k]
+                    hdep = "prep"
+                t.dep, t.head_i = hdep, base + host
+                # its object: head of the next noun phrase
+                j = k + 1
+                while j < end and L(j).pos not in ("VERB", "AUX") \
+                        and np_head_of[j] != j:
+                    j += 1
+                if j < end and np_head_of[j] == j and L(j).dep == "dep":
+                    L(j).dep, L(j).head_i = "pobj", base + k
+                    last_nominal = j
+            elif t.pos == "CCONJ" and t.dep == "dep":
+                # nominal conjunction: A and B -> conj(B -> A)
+                j = k + 1
+                while j < end and np_head_of[j] is None:
+                    j += 1
+                prev_np = last_nominal
+                if j < end and np_head_of[j] == j and prev_np is not None \
+                        and L(j).dep == "dep":
+                    t.dep, t.head_i = "cc", base + prev_np
+                    L(j).dep, L(j).head_i = "conj", base + prev_np
+            k += 1
+
+    # leftovers dangle from the root
+    for t in toks:
+        if t.dep == "dep" and t.i != base + root_main:
+            t.head_i = base + root_main
+
+
+_SING_PRON = {"it", "itself"}
+_PLUR_PRON = {"they", "them", "themselves"}
+
+
+def resolve_coref(doc: List[Tok]) -> None:
+    """Nearest-antecedent pronoun resolution (coreferee stand-in): ``it``
+    -> last singular NOUN subject/object before it, ``they/them`` -> last
+    plural; same or previous sentence."""
+    seen: List[Tuple[Tok, bool]] = []
+    for t in doc:
+        lw = t.text.lower()
+        if t.pos == "PRON" and (lw in _SING_PRON or lw in _PLUR_PRON):
+            want_plural = lw in _PLUR_PRON
+            match = None
+            for cand, is_subj in reversed(seen):
+                if (cand.tag == "NNS") == want_plural:
+                    if is_subj:
+                        match = cand
+                        break
+                    if match is None:
+                        match = cand
+            if match is not None:
+                t.coref = [match.i]
+        elif t.pos in ("NOUN", "PROPN") and not t.is_ref \
+                and t.dep in ("nsubj", "nsubjpass", "dobj", "attr", "pobj"):
+            seen.append((t, t.dep in ("nsubj", "nsubjpass")))
+
+
+def annotate_node(content: str, mentions: Sequence[Dict]) -> List[Sent]:
+    """Full annotation of one node's content -> sentence list."""
+    toks = tokenize_with_mentions(content or "", mentions or [])
+    tag(toks)
+    sent_toks = split_sentences(toks)
+    # re-index tokens doc-globally (they already are), parse per sentence
+    for st in sent_toks:
+        _parse_sentence(st)
+    sents = make_doc(sent_toks)
+    resolve_coref([t for s in sents for t in s])
+    return sents

@@ -1,0 +1,218 @@
+"""Per-node KG assembly: phrases -> kg node/edge rows + linker keys.
+
+Pure-Python core of the graph-assembly UDF.  Faithful to
+``KGRenderer.render``/``_add_phrase`` (``kg_creation/kg_renderer.py:35-126``):
+
+* ``defines`` edges from the owning document node to each topmost
+  predicate; ``agent``/``patient`` edges predicate -> object;
+* objects wrapping a resolved reference mention are **rerouted** to the
+  target document node (``kg_renderer.py:74-94``);
+* nested phrases add predicate -> predicate edges labeled
+  agent/patient/conditional; a visited-set makes phrase cycles safe;
+* attribute extraction inlined: predicate negation
+  (``negation_extractor.py:14-26``) and agent/patient-edge preposition
+  chains (``preposition_extractor.py:17-37``);
+* every token-bearing kg node carries the blocking keys the entity linkers
+  group on (L1 same-token, L2 same-lemma-in-paragraph, L4 proper-noun) and
+  L3 "referred to in <ref>" candidates are matched here token-side
+  (``reference_linker.py:29-59``) — the expensive subtree join happens
+  relationally in Spark.
+
+Edges are emitted with a write sequence so the reference's
+``add_edge``-overwrite semantics (one edge per (u,v), last write wins —
+``knowledge_graph.py:23-43``) can be replayed deterministically downstream.
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Dict, List, Optional, Sequence
+
+from inclusionreferenceskg_spark.functions.doctree import DEPTH
+from inclusionreferenceskg_spark.functions.phrases import (
+    Phrase,
+    PhraseExtractor,
+)
+from inclusionreferenceskg_spark.functions.tokens import Sent, Tok
+
+_PREP_DEPS = {"prep", "acomp"}
+
+
+def paragraph_key(url: str, path: Sequence[Dict]) -> Optional[str]:
+    """Serialized identity of the enclosing Paragraph (L2 blocking key,
+    same_lemma_in_same_paragraph_linker.py:27-40); None above Paragraph
+    depth."""
+    if not path or DEPTH[path[-1]["node_type"]] < DEPTH["Paragraph"]:
+        return None
+    prefix = []
+    for el in path:
+        prefix.append(f"{el['node_type']}:{el['number']}")
+        if DEPTH[el["node_type"]] >= DEPTH["Paragraph"]:
+            break
+    return url + "|" + "/".join(prefix)
+
+
+def _coref_lemmas(tok: Tok) -> List[str]:
+    doc = tok.sent.doc
+    toks = [doc[j] for j in tok.coref] if tok.coref else [tok]
+    return sorted({t.lemma for t in toks})
+
+
+def _coref_base(tok: Tok) -> Tok:
+    # L2 resolves the token again; extraction already replaced anaphors, so
+    # this is the identity for most tokens (see SURVEY §2.8 L2)
+    if tok.coref:
+        return tok.sent.doc[tok.coref[0]]
+    return tok
+
+
+def render_node(url: str, node_id: str, path: Sequence[Dict],
+                sents: List[Sent],
+                include_extensions: bool = False) -> Dict[str, list]:
+    """Extract phrases from the node's sentences and assemble graph rows.
+
+    Returns {'kg_nodes': [...], 'kg_edges': [...], 'l3': [...]} where rows
+    are plain dicts (the UDF layer turns them into DataFrame rows).
+    """
+    extractor = PhraseExtractor(id_prefix=f"{node_id}:")
+    phrases: List[Phrase] = []
+    for sent in sents:
+        phrases.extend(
+            extractor.extract_from_sentence(sent, include_extensions))
+
+    kg_nodes: Dict[str, Dict] = {}
+    edges: List[Dict] = []
+    added: set = set()
+    pkey = paragraph_key(url, path)
+
+    def ensure_node(obj, kind: str) -> None:
+        tok = obj.token
+        kg_nodes[obj.id] = {
+            "url": url, "kg_id": obj.id, "kind": kind, "node_id": node_id,
+            "token_key": f"{node_id}:{tok.i}",
+            "token_i": tok.i, "token_text": tok.text, "lemma": tok.lemma,
+            "tag": tok.tag, "pos": tok.pos,
+            "negated": None,
+            "para_key": pkey,
+            "coref_lemma": _coref_base(tok).lemma,
+            "coref_tag": _coref_base(tok).tag,
+            "propn_key": (
+                tok.text + "\x1f" + "\x1f".join(
+                    c.text for c in tok.children if c.dep == "compound")
+                if tok.pos == "PROPN" else None),
+            "lemma_set_key": "\x1f".join(_coref_lemmas(tok)),
+        }
+
+    def emit(src: str, dst: str, label: str,
+             attrs: Optional[Dict[str, str]] = None) -> None:
+        edges.append({"url": url, "src": src, "dst": dst, "label": label,
+                      "attrs": attrs or {}, "emit_seq": len(edges)})
+
+    def prep_attrs(obj) -> Optional[Dict[str, str]]:
+        """PrepositionExtractor: attach the prep/acomp chain above the
+        object token as an edge attribute."""
+        tok = obj.token
+        if tok.head.dep not in _PREP_DEPS:
+            return None
+        chain = [tok.head]
+        while chain[0].head.dep in _PREP_DEPS and chain[0].head is not chain[0]:
+            chain.insert(0, chain[0].head)
+        return {"prepositions": " ".join(t.text for t in chain)}
+
+    def add_phrase(phrase: Phrase, topmost: bool = False) -> None:
+        if phrase.id in added:
+            return
+        added.add(phrase.id)
+
+        if topmost:
+            for pred in phrase.predicate:
+                emit(node_id, pred.id, "defines")
+
+        for pred in phrase.predicate:
+            ensure_node(pred, "predicate")
+            tok = pred.token
+            neg = sum(1 for c in tok.children if c.dep == "neg")
+            neg += sum(1 for c in tok.children
+                       if c.dep == "mark" and c.pos == "SCONJ"
+                       and c.text in ("except", "unless"))
+            kg_nodes[pred.id]["negated"] = bool(neg % 2)
+
+        for role, objs in (("patient", phrase.patient_objects),
+                           ("agent", phrase.agent_objects)):
+            for obj in objs:
+                if obj.token.is_ref and obj.token.ref_targets:
+                    for target, pred in itertools.product(
+                            obj.token.ref_targets, phrase.predicate):
+                        emit(pred.id, target["node_id"], role)
+                else:
+                    ensure_node(obj, "object")
+                    attrs = prep_attrs(obj)
+                    for pred in phrase.predicate:
+                        emit(pred.id, obj.id, role, attrs)
+
+        if include_extensions:
+            stack = list(itertools.chain(phrase.agent_objects,
+                                         phrase.patient_objects))
+            while stack:
+                cur = stack.pop()
+                for poss in cur.possessors:
+                    ensure_node(poss, "object")
+                    emit(cur.id, poss.id, "of")
+                stack.extend(cur.possessors)
+            for obj in itertools.chain(phrase.agent_objects,
+                                       phrase.patient_objects):
+                for desc in obj.described_by:
+                    add_phrase(desc)
+                    for pred in desc.predicate:
+                        emit(obj.id, pred.id, "described_by")
+
+        for label, nested_list in (("patient", phrase.patient_phrases),
+                                   ("agent", phrase.agent_phrases),
+                                   ("conditional", phrase.condition_phrases)):
+            for nested in nested_list:
+                for mine, other in itertools.product(phrase.predicate,
+                                                     nested.predicate):
+                    emit(mine.id, other.id, label)
+                add_phrase(nested)
+
+    for phrase in phrases:
+        add_phrase(phrase, topmost=True)
+
+    # L3 candidates: object token followed within 10 tokens by
+    # [any][VERB|ADJ][ADP+][REF]
+    l3 = []
+    for row in kg_nodes.values():
+        if row["kind"] != "object":
+            continue
+        tok_i = row["token_i"]
+        # find the token's sentence/doc
+        doc = None
+        for s in sents:
+            if s.start <= tok_i < s.end:
+                doc = s.doc
+                break
+        if doc is None:
+            continue
+        window = doc[tok_i: tok_i + 10]
+        if len(window) < 4:
+            continue
+        t1 = window[1]
+        if t1.pos not in ("VERB", "ADJ"):
+            continue
+        j = 2
+        if window[j].pos != "ADP":
+            continue
+        while j < len(window) and window[j].pos == "ADP":
+            j += 1
+        if j < len(window) and window[j].tag == "REF" \
+                and window[j].ref_targets:
+            for target in window[j].ref_targets:
+                l3.append({
+                    "url": url,
+                    "src_kg_id": row["kg_id"],
+                    "lemma_set_key": row["lemma_set_key"],
+                    "target_node_id": target["node_id"],
+                    "target_url": target.get("url"),
+                })
+
+    return {"kg_nodes": list(kg_nodes.values()), "kg_edges": edges, "l3": l3}

@@ -1,0 +1,318 @@
+"""Stage D/E — graph extraction, entity linking, connected components,
+canonical rewrite, triple export.
+
+Dataflow (SURVEY §3.1):
+
+    nodes ⋈ resolved-mentions ──mapInPandas[annotate+phrases+render]──►
+        kg_nodes / kg_edges / L3-candidates        (one pass, wide rows)
+    kg_nodes ──groupBy blocking keys (L1/L2/L4)──► merge pairs
+    L3-candidates ⋈ nodes(path-prefix) ⋈ kg_nodes ─► merge pairs
+    merge pairs ──iterative min-label CC──► canonical map
+    kg_edges ⋈ canonical map ──rewrite+dedup──► final graph
+    final graph ⋈ display strings ──► (subject, relation, object) triples
+
+Scale: the extraction pass is narrow; L1/L2/L4 are single shuffles on their
+blocking keys (Zipfian lemma keys ride on AQE skew handling; key spaces are
+already salted by construction because every key embeds its paragraph/node
+identity); the CC loop converges in a handful of iterations because merge
+components are within-document by construction (L1–L3) or per-surface-form
+(L4), with ``localCheckpoint`` cutting lineage each round.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F, types as T
+
+from inclusionreferenceskg_spark.functions.annotate import annotate_node
+from inclusionreferenceskg_spark.functions.grammar import detect
+from inclusionreferenceskg_spark.functions.kgbuild import render_node
+
+GRAPH_ROWS = T.StructType([
+    T.StructField("row_kind", T.StringType(), False),   # node|edge|l3
+    T.StructField("url", T.StringType(), False),
+    T.StructField("node_id", T.StringType()),
+    T.StructField("kg_id", T.StringType()),
+    T.StructField("kind", T.StringType()),
+    T.StructField("token_key", T.StringType()),
+    T.StructField("token_i", T.IntegerType()),
+    T.StructField("token_text", T.StringType()),
+    T.StructField("lemma", T.StringType()),
+    T.StructField("tag", T.StringType()),
+    T.StructField("pos", T.StringType()),
+    T.StructField("negated", T.BooleanType()),
+    T.StructField("para_key", T.StringType()),
+    T.StructField("coref_lemma", T.StringType()),
+    T.StructField("coref_tag", T.StringType()),
+    T.StructField("propn_key", T.StringType()),
+    T.StructField("lemma_set_key", T.StringType()),
+    T.StructField("src", T.StringType()),
+    T.StructField("dst", T.StringType()),
+    T.StructField("label", T.StringType()),
+    T.StructField("attrs", T.MapType(T.StringType(), T.StringType())),
+    T.StructField("emit_seq", T.IntegerType()),
+    T.StructField("src_kg_id", T.StringType()),
+    T.StructField("target_node_id", T.StringType()),
+    T.StructField("target_url", T.StringType()),
+])
+
+_COLS = [f.name for f in GRAPH_ROWS.fields]
+
+
+def extract_graph(nodes: DataFrame, resolved: DataFrame,
+                  include_extensions: bool = False) -> DataFrame:
+    """nodes + resolved mentions -> wide graph rows (cache + split)."""
+    targets = (resolved
+               .groupBy("url", "node_id")
+               .agg(F.collect_list(F.struct("mention_idx", "qual_idx",
+                                            "start", "text",
+                                            "target_node_id", "target_url"))
+                    .alias("mention_targets")))
+    src = (nodes.select("url", "node_id", "content", "path")
+           .join(targets, ["url", "node_id"], "left"))
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for url, node_id, content, path, tgt in zip(
+                    pdf["url"], pdf["node_id"], pdf["content"], pdf["path"],
+                    pdf["mention_targets"]):
+                mentions = detect(content or "")
+                if not mentions and not (content or "").strip():
+                    continue
+                tmap = {}
+                if tgt is not None and len(tgt):
+                    for t in sorted(tgt, key=lambda x: (x["mention_idx"],
+                                                        x["qual_idx"])):
+                        tmap.setdefault((t["start"], t["text"]), []).append(
+                            {"node_id": t["target_node_id"],
+                             "url": t["target_url"]})
+                for m in mentions:
+                    m["targets"] = tmap.get((m["start"], m["text"]), [])
+                sents = annotate_node(content or "", mentions)
+                rows = render_node(url, node_id, list(path), sents,
+                                   include_extensions)
+                blank = dict.fromkeys(_COLS)
+                for r in rows["kg_nodes"]:
+                    out.append({**blank, "row_kind": "node", **r})
+                for r in rows["kg_edges"]:
+                    out.append({**blank, "row_kind": "edge", **r})
+                for r in rows["l3"]:
+                    out.append({**blank, "row_kind": "l3", **r})
+            yield pd.DataFrame(out, columns=_COLS, dtype=object)
+
+    return src.mapInPandas(run, GRAPH_ROWS)
+
+
+def graph_nodes(wide: DataFrame) -> DataFrame:
+    return wide.filter(F.col("row_kind") == "node").select(
+        "url", "node_id", "kg_id", "kind", "token_key", "token_i",
+        "token_text", "lemma", "tag", "pos", "negated", "para_key",
+        "coref_lemma", "coref_tag", "propn_key", "lemma_set_key")
+
+
+def graph_edges(wide: DataFrame) -> DataFrame:
+    return wide.filter(F.col("row_kind") == "edge").select(
+        "url", "src", "dst", "label", "attrs", "emit_seq")
+
+
+def l3_candidates(wide: DataFrame) -> DataFrame:
+    return wide.filter(F.col("row_kind") == "l3").select(
+        "url", "src_kg_id", "lemma_set_key", "target_node_id", "target_url")
+
+
+def contains_edges(nodes: DataFrame) -> DataFrame:
+    """Document-structure ``contains`` edges straight from the nodes table
+    (kg_renderer.py:49-54)."""
+    return (nodes.filter(F.col("parent_id").isNotNull())
+            .select("url", F.col("parent_id").alias("src"),
+                    F.col("node_id").alias("dst"),
+                    F.lit("contains").alias("label"),
+                    F.create_map().cast("map<string,string>").alias("attrs"),
+                    F.lit(-1).alias("emit_seq")))
+
+
+def doc_node_display(nodes: DataFrame) -> DataFrame:
+    """Display strings for document nodes, matching
+    ``ImmutableNodeView.__str__`` (node.py:134-135)."""
+    disp = F.concat(
+        F.col("node_type"), F.lit(" "),
+        F.coalesce(F.col("number").cast("string"), F.lit("None")),
+        F.when(F.col("title").isNotNull() & (F.col("title") != ""),
+               F.concat(F.lit(": "), F.col("title"))).otherwise(F.lit("")))
+    return nodes.select("url", F.col("node_id").alias("kg_id"),
+                        disp.alias("display"))
+
+
+def entity_link_pairs(kg_nodes: DataFrame, l3: DataFrame,
+                      nodes: DataFrame) -> DataFrame:
+    """Merge pairs from all four linkers as (url, a, b) edge rows.
+
+    Every group becomes a star to its min member — equivalent input to
+    connected components as the reference's pairwise reduce
+    (knowledge_graph.py:193-217).
+    """
+
+    def star(df: DataFrame, keys) -> DataFrame:
+        w = Window.partitionBy(*keys)
+        return (df
+                .withColumn("a", F.min("kg_id").over(w))
+                .filter(F.col("kg_id") != F.col("a"))
+                .select("url", "a", F.col("kg_id").alias("b")))
+
+    # L1: same token object (same_token_linker.py:9-18) — predicates and
+    # objects both carry tokens
+    l1 = star(kg_nodes.select("url", "token_key", "kg_id"), ["token_key"])
+
+    # L2: same coref-resolved (lemma, tag) within the same Paragraph,
+    # PhraseObjects only (same_lemma_in_same_paragraph_linker.py:21-54)
+    l2 = star(
+        kg_nodes.filter((F.col("kind") == "object")
+                        & F.col("para_key").isNotNull())
+        .select("url", "para_key", "coref_lemma", "coref_tag", "kg_id"),
+        ["para_key", "coref_lemma", "coref_tag"])
+
+    # L4: proper nouns by (text, compound-children) surface, per document
+    # (proper_noun_linker.py:12-26)
+    l4 = star(
+        kg_nodes.filter(F.col("propn_key").isNotNull())
+        .select("url", "propn_key", "kg_id"),
+        ["url", "propn_key"])
+
+    # L3: "<obj> VERB/ADJ ADP+ <ref>" — merge with same-lemma-set kg nodes
+    # under the reference target's subtree (reference_linker.py:62-89);
+    # subtree test = path-prefix over materialized paths
+    owner_paths = nodes.select(F.col("node_id").alias("owner_node_id"),
+                               F.col("url").alias("owner_url"),
+                               F.col("path").alias("owner_path"))
+    target_paths = nodes.select(F.col("node_id").alias("target_node_id"),
+                                F.col("path").alias("t_path"))
+    kn = (kg_nodes
+          .join(owner_paths,
+                (F.col("node_id") == F.col("owner_node_id"))
+                & (F.col("url") == F.col("owner_url")), "inner")
+          .select(F.col("url").alias("kn_url"),
+                  F.col("kg_id").alias("kn_kg_id"),
+                  F.col("lemma_set_key").alias("kn_lemma_set_key"),
+                  "owner_path"))
+    l3r = l3.select(F.col("url").alias("l3_url"), "src_kg_id",
+                    F.col("lemma_set_key").alias("l3_lemma_set_key"),
+                    "target_node_id", "target_url")
+    l3p = (l3r
+           .join(target_paths, "target_node_id", "inner")
+           .join(kn,
+                 (F.col("kn_url") == F.col("target_url"))
+                 & (F.col("kn_lemma_set_key") == F.col("l3_lemma_set_key"))
+                 & (F.col("kn_kg_id") != F.col("src_kg_id"))
+                 & (F.expr("slice(owner_path, 1, size(t_path))")
+                    == F.col("t_path")),
+                 "inner")
+           .select(F.col("l3_url").alias("url"),
+                   F.col("src_kg_id").alias("a"),
+                   F.col("kn_kg_id").alias("b")))
+
+    return l1.unionByName(l2).unionByName(l4).unionByName(l3p).distinct()
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 12) -> DataFrame:
+    """Min-label propagation over the merge-pair graph -> (kg_id, canon_id).
+
+    The reference groups merge pairs into components with a driver-side DFS
+    (knowledge_graph.py:193-214) and reduces each group with ``merge``; the
+    nondeterministic ``set.pop()`` winner is replaced by min-id.  Components
+    are small by construction, so few iterations; ``localCheckpoint`` every
+    round keeps lineage bounded.
+    """
+    edges = (pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
+             .union(pairs.select(F.col("b").alias("x"),
+                                 F.col("a").alias("y")))
+             .distinct())
+    labels = (edges.select(F.col("x").alias("id"))
+              .distinct()
+              .withColumn("label", F.col("id")))
+    for _ in range(max_iter):
+        nbr_min = (edges
+                   .join(labels, edges["y"] == labels["id"])
+                   .groupBy("x").agg(F.min("label").alias("nbr_label")))
+        new_labels = (labels
+                      .join(nbr_min, labels["id"] == nbr_min["x"], "left")
+                      .select(F.col("id"),
+                              F.least(F.col("label"),
+                                      F.coalesce(F.col("nbr_label"),
+                                                 F.col("label")))
+                              .alias("label")))
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "id")
+                   .filter(F.col("n.label") != F.col("o.label")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("kg_id"),
+                         F.col("label").alias("canon_id"))
+
+
+def apply_merges(kg_nodes: DataFrame, kg_edges: DataFrame,
+                 canon: DataFrame) -> DataFrame:
+    """Canonical-id rewrite of edges + reference dedup semantics: self-loop
+    edges dropped (knowledge_graph.py:93), one edge per (u, v) with the last
+    write winning (add_edge overwrite, knowledge_graph.py:23-43)."""
+    csrc = canon.select(F.col("kg_id").alias("src"),
+                        F.col("canon_id").alias("csrc"))
+    cdst = canon.select(F.col("kg_id").alias("dst"),
+                        F.col("canon_id").alias("cdst"))
+    rewritten = (kg_edges
+                 .join(csrc, "src", "left")
+                 .join(cdst, "dst", "left")
+                 .select("url",
+                         F.coalesce("csrc", "src").alias("src"),
+                         F.coalesce("cdst", "dst").alias("dst"),
+                         "label", "attrs", "emit_seq")
+                 .filter(F.col("src") != F.col("dst")))
+    w = Window.partitionBy("url", "src", "dst").orderBy(F.desc("emit_seq"))
+    return (rewritten.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn", "emit_seq"))
+
+
+def make_triples(final_edges: DataFrame, kg_nodes: DataFrame,
+                 canon: DataFrame, nodes: DataFrame,
+                 structural: bool = False) -> DataFrame:
+    """Edges -> string triples with the reference's formatting
+    (``as_triplets``, knowledge_graph.py:122-138: token text for
+    predicate/object nodes, immutable-view string for document nodes) and
+    the E4 comparator's exclusion of defines/contains edges
+    (evaluate_kg_creation.py:25)."""
+    canon_nodes = (kg_nodes
+                   .join(canon, "kg_id", "left")
+                   .withColumn("cid", F.coalesce("canon_id", "kg_id"))
+                   .filter(F.col("cid") == F.col("kg_id"))
+                   .select(F.col("kg_id"),
+                           F.col("token_text").alias("display")))
+    display = canon_nodes.unionByName(
+        doc_node_display(nodes).select("kg_id", "display"))
+
+    e = final_edges if structural else final_edges.filter(
+        ~F.col("label").isin("defines", "contains"))
+    return (e
+            .join(display.withColumnRenamed("kg_id", "src"), "src")
+            .withColumnRenamed("display", "subject")
+            .join(display.withColumnRenamed("kg_id", "dst"), "dst")
+            .withColumnRenamed("display", "object")
+            .select("url", "subject", F.col("label").alias("relation"),
+                    "object"))
+
+
+def build_graph(nodes: DataFrame, resolved: DataFrame,
+                include_extensions: bool = False):
+    """Convenience wrapper: returns (kg_nodes, final_edges, canon, triples)."""
+    wide = extract_graph(nodes, resolved, include_extensions).cache()
+    kn = graph_nodes(wide)
+    ke = graph_edges(wide).unionByName(contains_edges(nodes))
+    pairs = entity_link_pairs(kn, l3_candidates(wide), nodes)
+    canon = connected_components(pairs)
+    final_edges = apply_merges(kn, ke, canon)
+    triples = make_triples(final_edges, kn, canon, nodes)
+    return kn, final_edges, canon, triples

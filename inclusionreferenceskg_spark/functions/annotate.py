@@ -23,7 +23,12 @@ from __future__ import annotations
 import re
 from typing import Dict, List, Optional, Sequence, Tuple
 
-from inclusionreferenceskg_spark.functions.tokens import Sent, Tok, make_doc
+from inclusionreferenceskg_spark.functions.tokens import (
+    Sent,
+    Tok,
+    index_children,
+    make_doc,
+)
 
 _WORD = re.compile(r"\w+(?:[-’']\w+)*|[^\w\s]")
 
@@ -145,32 +150,45 @@ def tokenize_with_mentions(content: str,
     toks: List[Tok] = []
     pos_cursor = 0
 
-    def _plain(segment: str):
+    def _plain(segment: str, base: int):
         for m in _WORD.finditer(segment):
-            toks.append(Tok(len(toks), m.group()))
+            w = m.group()
+            # split genitive clitic: controller's -> controller + 's
+            gen = re.fullmatch(r"(\w+)([’']s)", w)
+            if gen:
+                toks.append(Tok(len(toks), gen.group(1), idx=base + m.start()))
+                toks.append(Tok(len(toks), gen.group(2), pos="PART",
+                                tag="POS", idx=base + m.start()
+                                + len(gen.group(1))))
+                continue
+            toks.append(Tok(len(toks), w, idx=base + m.start()))
 
     for mention in sorted(mentions, key=lambda m: m["start"]):
         s, t = mention["start"], mention["text"]
         if s < pos_cursor:
             continue  # overlapping (shouldn't happen: regex is greedy)
-        _plain(content[pos_cursor:s])
+        _plain(content[pos_cursor:s], pos_cursor)
         toks.append(Tok(len(toks), t, pos="PROPN", tag="REF", is_ref=True,
-                        ref_targets=list(mention.get("targets") or [])))
+                        ref_targets=list(mention.get("targets") or []),
+                        idx=s))
         pos_cursor = s + len(t)
-    _plain(content[pos_cursor:])
+    _plain(content[pos_cursor:], pos_cursor)
     return toks
 
 
 def tag(toks: List[Tok]) -> None:
     """Lexicon + suffix + context POS tagging (in place)."""
     for k, t in enumerate(toks):
-        if t.is_ref:
+        if t.is_ref or t.tag == "POS":
             continue
         w = t.text
         lw = w.lower()
         prev = toks[k - 1] if k else None
         if not re.search(r"\w", w):
             t.pos, t.tag = "PUNCT", "."
+        elif lw in ("out", "up", "down") and prev is not None \
+                and prev.pos == "VERB":
+            t.pos, t.tag = "ADP", "RP"   # phrasal particle
         elif re.fullmatch(r"\d+(?:[./]\d+)*", w):
             t.pos, t.tag = "NUM", "CD"
         elif lw == "not":
@@ -261,14 +279,36 @@ def tag(toks: List[Tok]) -> None:
             t.lemma = lemmatize(t.text, "NOUN")
 
 
-_BOUNDARY = {".", ";", "!", "?"}
+
+def _mark_list_markers(toks: List[Tok]) -> None:
+    """Point/paragraph list markers ``(a)``/``(ii)``/``(1)`` inside running
+    text are labels, not noun phrases: tag the inner token LS."""
+    for k in range(1, len(toks) - 1):
+        t = toks[k]
+        if toks[k - 1].text == "(" and toks[k + 1].text == ")" \
+                and not t.is_ref and len(t.text) <= 3 \
+                and t.text.isalnum():
+            t.pos, t.tag = "X", "LS"
+
+
+_BOUNDARY = {".", "!", "?"}
+_MAX_SENT_TOKENS = 300
 
 
 def split_sentences(toks: List[Tok]) -> List[List[Tok]]:
+    """Sentence boundaries at ./!/?; semicolons and colons do NOT split so
+    that enumeration lists ("shall contain: (a) ...; (b) ...") stay in one
+    analyzed sentence like the reference's doc-level spaCy parse.  Over-long
+    runs are force-split at the next punctuation to bound extraction cost."""
     sents, cur = [], []
     for t in toks:
         cur.append(t)
-        if t.pos == "PUNCT" and t.text in _BOUNDARY:
+        if t.pos == "PUNCT" and (
+                t.text in _BOUNDARY
+                or (len(cur) >= _MAX_SENT_TOKENS and t.text in (";", ":"))):
+            sents.append(cur)
+            cur = []
+        elif len(cur) >= 2 * _MAX_SENT_TOKENS:
             sents.append(cur)
             cur = []
     if cur:
@@ -278,33 +318,36 @@ def split_sentences(toks: List[Tok]) -> List[List[Tok]]:
 
 _NP_POS = ("DET", "ADJ", "NUM", "NOUN", "PROPN", "PRON")
 _NP_HEAD_POS = ("NOUN", "PROPN", "PRON")
+_WH_PRON = ("which", "who", "whom")
 
 
 def _parse_sentence(toks: List[Tok]) -> None:
     """Shallow rule dependency parse (in place, doc-level head indices).
 
-    Produces exactly the dependency surface the extraction rules need;
-    everything unattached falls back to the sentence root.
+    Passes: NP chunking -> NP conjunction chaining (incl. semicolon+list-
+    marker enumerations) -> verb grouping -> acl/relcl classification ->
+    per-clause (left to right): clause linking, subject, post-verb
+    objects/prepositions.  Produces exactly the dependency surface the
+    phrase-extraction rules consume.
     """
     n = len(toks)
     if n == 0:
         return
     base = toks[0].i
 
-    def L(i: int) -> Tok:          # local index -> token
+    def L(i: int) -> Tok:
         return toks[i]
 
-    # ---- noun-phrase chunking: [det/adj/num/compound]* head ----
-    np_head_of = [None] * n        # local idx -> local head idx of its NP
+    # ---- 1. noun-phrase chunking ----
+    np_head_of = [None] * n
+    np_run_end = [None] * n
     k = 0
     while k < n:
-        if L(k).pos in _NP_POS and not (L(k).pos == "DET"
-                                        and L(k).text.lower() == "that"
-                                        and L(k).pos == "SCONJ"):
+        if L(k).pos in _NP_POS or L(k).tag == "POS":
             j = k
-            while j + 1 < n and L(j + 1).pos in _NP_POS:
+            while j + 1 < n and (L(j + 1).pos in _NP_POS
+                                 or L(j + 1).tag == "POS"):
                 j += 1
-            # head = last NOUN/PROPN/PRON in the run
             h = None
             for m in range(j, k - 1, -1):
                 if L(m).pos in _NP_HEAD_POS:
@@ -315,10 +358,16 @@ def _parse_sentence(toks: List[Tok]) -> None:
                 continue
             for m in range(k, j + 1):
                 np_head_of[m] = h
+                np_run_end[m] = j
                 if m == h:
                     continue
                 t = L(m)
-                if t.pos == "DET":
+                if t.tag == "POS":
+                    t.dep, t.head_i = "case", base + (m - 1 if m else m)
+                elif m + 1 <= j and L(m + 1).tag == "POS":
+                    # genitive possessor: controller 's representative
+                    t.dep, t.head_i = "poss", base + h
+                elif t.pos == "DET":
                     t.dep, t.head_i = "det", base + h
                 elif t.pos == "ADJ":
                     t.dep, t.head_i = "amod", base + h
@@ -330,12 +379,56 @@ def _parse_sentence(toks: List[Tok]) -> None:
                     t.dep, t.head_i = "appos", base + h
             k = j + 1
         else:
-            k = k + 1
+            k += 1
 
     np_heads = sorted({h for h in np_head_of if h is not None})
 
-    # ---- verb groups: (AUX|ADV|PART)* VERB, or a lone AUX ----
-    groups: List[Tuple[int, List[int], bool]] = []  # (main, auxes, passive)
+    # ---- 2. NP conjunction chains ----
+    # "A and B" links locally; ";/(b)/," enumeration items link to the
+    # chain anchor (first object NP of the clause).  NPs directly followed
+    # by a verb are subjects, not list items (unless an explicit CCONJ
+    # bound them).
+    anchor = None
+    prev_head = None
+    pending = None  # None | ("local"|"anchor", cconj_idx|None)
+    for k in range(n):
+        t = L(k)
+        if t.pos in ("VERB", "AUX"):
+            anchor = None
+            prev_head = None
+            pending = None
+        elif np_head_of[k] == k:
+            nxt = np_run_end[k] + 1
+            followed_by_verb = nxt < n and L(nxt).pos in ("VERB", "AUX")
+            if pending is not None:
+                mode, cconj = pending
+                target = prev_head if mode == "local" else anchor
+                if target is not None and \
+                        (not followed_by_verb or cconj is not None):
+                    t.dep, t.head_i = "conj", base + target
+                    if cconj is not None and L(cconj).dep == "dep":
+                        L(cconj).dep = "cc"
+                        L(cconj).head_i = base + target
+            if anchor is None:
+                anchor = k
+            prev_head = k
+            pending = None
+        elif t.pos == "CCONJ":
+            pending = ("local", k)
+        elif t.text == ",":
+            if pending is None or pending[1] is None:
+                pending = ("local", None)
+        elif t.text in (";", ":"):
+            pending = ("anchor", None)
+        elif t.tag == "LS" or t.text in ("(", ")"):
+            pass  # enumeration marker: keep pending state
+        elif np_head_of[k] is not None:
+            pass  # inside an NP run
+        else:
+            pending = None
+
+    # ---- 3. verb groups ----
+    groups = []  # dicts: main, auxes, passive, kind
     used = set()
     k = 0
     while k < n:
@@ -351,7 +444,7 @@ def _parse_sentence(toks: List[Tok]) -> None:
         if k < n and L(k).pos == "VERB" and np_head_of[k] is None:
             main = k
         elif auxes:
-            main = auxes.pop()     # copula/modal acts as main verb
+            main = auxes.pop()
         else:
             if k < n and L(k).pos == "VERB" and np_head_of[k] is None:
                 main = k
@@ -360,172 +453,192 @@ def _parse_sentence(toks: List[Tok]) -> None:
                 continue
         passive = L(main).tag == "VBN" and any(
             L(a).lemma == "be" for a in auxes)
-        groups.append((main, auxes, passive))
+        groups.append({"main": main, "auxes": auxes, "passive": passive,
+                       "kind": None, "start": auxes[0] if auxes else main})
         used.update(auxes)
         used.add(main)
         k = max(k, main) + 1
 
     if not groups:
-        # verbless fragment: root = first NP head or first token
         root_local = np_heads[0] if np_heads else 0
         root = L(root_local)
         root.dep, root.head_i = "ROOT", base + root_local
         for t in toks:
-            if t.dep == "dep":
+            if t.dep == "dep" and t.i != base + root_local:
                 t.head_i = base + root_local
         return
 
-    root_main = groups[0][0]
-    mains = [g[0] for g in groups]
+    # ---- 4. acl / relcl classification ----
+    for g in groups:
+        main, auxes = g["main"], g["auxes"]
+        if not auxes and L(main).tag in ("VBN", "VBG"):
+            j = main - 1
+            while j >= 0 and L(j).pos == "ADV":
+                j -= 1
+            if j >= 0 and np_head_of[j] is not None:
+                g["kind"] = "acl"
+                L(main).dep = "acl"
+                L(main).head_i = base + np_head_of[j]
+                continue
+        # "..., who has ..." / "which shall ..."
+        j = g["start"] - 1
+        while j >= 0 and L(j).pos in ("ADV", "PUNCT"):
+            j -= 1
+        wh = None
+        if j >= 0 and L(j).pos == "PRON" and L(j).text.lower() in _WH_PRON:
+            wh = j
+        elif j >= 0 and np_head_of[j] == j and L(j).pos == "PRON" \
+                and L(j).text.lower() in _WH_PRON:
+            wh = j
+        if wh is not None:
+            jj = wh - 1
+            while jj >= 0 and L(jj).pos == "PUNCT":
+                jj -= 1
+            if jj >= 0 and np_head_of[jj] is not None:
+                g["kind"] = "relcl"
+                L(main).dep = "relcl"
+                L(main).head_i = base + np_head_of[jj]
+                L(wh).dep = "nsubjpass" if g["passive"] else "nsubj"
+                L(wh).head_i = base + main
 
-    # aux/neg attachment
-    for main, auxes, passive in groups:
-        L(main).dep = "ROOT" if main == root_main else "dep"
-        L(main).head_i = base + (main if main == root_main else root_main)
+    unclassified = [g for g in groups if g["kind"] is None]
+    root_main = unclassified[0]["main"] if unclassified else groups[0]["main"]
+    if unclassified:
+        unclassified[0]["kind"] = "root"
+        rt = L(root_main)
+        rt.dep, rt.head_i = "ROOT", base + root_main
+
+    mains = [g["main"] for g in groups]
+    starts = [g["start"] for g in groups]
+
+    # aux / neg attachment
+    for g in groups:
+        main, auxes = g["main"], g["auxes"]
         for a in auxes:
-            L(a).dep = "auxpass" if (passive and L(a).lemma == "be"
+            L(a).dep = "auxpass" if (g["passive"] and L(a).lemma == "be"
                                      and a == auxes[-1]) else "aux"
             L(a).head_i = base + main
-    for k, t in enumerate(toks):
+    for k in range(n):
+        t = L(k)
         if t.text.lower() == "not":
-            nxt_main = next((m for m in mains if m > k), None)
+            nxt_main = next((m for m in mains if m >= k), None)
             if nxt_main is not None:
                 t.dep, t.head_i = "neg", base + nxt_main
         elif t.pos == "PART" and t.tag == "TO":
-            nxt_main = next((m for m in mains if m > k), None)
+            nxt_main = next((m for m in mains if m >= k), None)
             if nxt_main is not None:
                 t.dep, t.head_i = "aux", base + nxt_main
 
-    # ---- subjects: nearest preceding unconsumed NP head ----
-    consumed_np = set()
-    subj_of = {}
-    for gi, (main, auxes, passive) in enumerate(groups):
-        start = auxes[0] if auxes else main
-        prev_main_end = max((m for m in mains[:gi]), default=-1)
-        cand = [h for h in np_heads
-                if prev_main_end < h < start and h not in consumed_np]
-        if cand:
-            s = cand[-1]
-            # reduced relative: "the procedure referred to in ..." — a bare
-            # VBN directly after an NP is an acl on it, not a main clause
-            if L(main).tag == "VBN" and not auxes and main == s + 1:
-                L(main).dep, L(main).head_i = "acl", base + s
-                continue
-            L(s).dep = "nsubjpass" if passive else "nsubj"
-            if L(s).text.lower() == "there":
-                L(s).dep = "expl"
-            L(s).head_i = base + main
-            consumed_np.add(s)
-            subj_of[main] = s
+    # ---- 5. per clause, in textual order ----
+    for gi, g in enumerate(groups):
+        main, auxes, passive = g["main"], g["auxes"], g["passive"]
+        start = g["start"]
+        prev_unclassified = max(
+            (h["main"] for h in groups[:gi] if h["kind"] in ("root", None)
+             or h["kind"] not in ("acl", "relcl")),
+            default=None)
+        prev_any = max((m for m in mains if m < main), default=None)
 
-    # ---- clause linking: mark/ccomp/advcl/relcl/conj/xcomp ----
-    for gi, (main, auxes, passive) in enumerate(groups[1:], 1):
-        if L(main).dep != "dep":
-            continue
-        start = auxes[0] if auxes else main
-        subj = subj_of.get(main)
-        if subj is not None:
-            # scan from the START of the subject's noun phrase
-            np_start = subj
-            while np_start - 1 >= 0 and np_head_of[np_start - 1] == subj:
-                np_start -= 1
-            scan_from = np_start
-        else:
-            scan_from = start
-        j = scan_from - 1
-        while j >= 0 and L(j).pos in ("ADV", "PUNCT"):
-            j -= 1
-        linked = False
-        if j >= 0:
-            t = L(j)
-            prev_main = max((m for m in mains if m < main), default=None)
-            if t.pos == "SCONJ":
-                t.dep = "mark"
-                t.head_i = base + main
-                if prev_main is not None:
-                    L(main).dep = "ccomp" if t.text.lower() == "that" \
-                        else "advcl"
-                    L(main).head_i = base + prev_main
+        # clause linking for plain subordinate/coordinate clauses
+        marker_j = None
+        if g["kind"] is None:
+            j = start - 1
+            # skip over this clause's subject NP if directly adjacent
+            cand_subj = [h for h in np_heads
+                         if (prev_any if prev_any is not None else -1) < h
+                         < start and L(h).dep == "dep"]
+            if cand_subj and np_run_end[cand_subj[-1]] is not None:
+                j = cand_subj[-1]
+                while j - 1 >= 0 and np_head_of[j - 1] == cand_subj[-1]:
+                    j -= 1
+                j -= 1
+            while j >= 0 and L(j).pos in ("ADV", "PUNCT"):
+                j -= 1
+            linked = False
+            if j >= 0:
+                t = L(j)
+                if t.pos == "SCONJ":
+                    t.dep, t.head_i = "mark", base + main
+                    marker_j = j
+                    if prev_unclassified is not None:
+                        L(main).dep = "ccomp" if t.text.lower() == "that" \
+                            else "advcl"
+                        L(main).head_i = base + prev_unclassified
+                        linked = True
+                elif t.pos == "CCONJ":
+                    marker_j = j
+                    if prev_unclassified is not None:
+                        t.dep, t.head_i = "cc", base + prev_unclassified
+                        L(main).dep = "conj"
+                        L(main).head_i = base + prev_unclassified
+                        linked = True
+                elif t.pos == "PART" and t.tag == "TO" \
+                        and prev_any is not None:
+                    marker_j = j
+                    L(main).dep = "xcomp"
+                    L(main).head_i = base + prev_any
                     linked = True
-            elif t.pos == "CCONJ":
-                t.dep = "cc"
-                if prev_main is not None:
-                    t.head_i = base + prev_main
-                    L(main).dep = "conj"
-                    L(main).head_i = base + prev_main
-                    linked = True
-            elif t.pos == "PRON" and t.text.lower() in ("which", "who",
-                                                        "whom"):
-                # relative clause on the NP before the pronoun
-                jj = j - 1
-                while jj >= 0 and L(jj).pos == "PUNCT":
-                    jj -= 1
-                if jj >= 0 and np_head_of[jj] is not None:
-                    L(main).dep = "relcl"
-                    L(main).head_i = base + np_head_of[jj]
-                    linked = True
-            elif t.pos == "PART" and t.tag == "TO" and prev_main is not None:
-                L(main).dep = "xcomp"
-                L(main).head_i = base + prev_main
-                linked = True
-        if not linked:
-            prev_main = max((m for m in mains if m < main), default=None)
-            if prev_main is not None:
-                L(main).dep = "ccomp" if any(
-                    L(x).pos == "SCONJ" and L(x).text.lower() == "that"
-                    for x in range(prev_main + 1, start)) else "conj"
-                L(main).head_i = base + prev_main
+            if not linked and prev_unclassified is not None:
+                L(main).dep = "advcl"
+                L(main).head_i = base + prev_unclassified
+            elif not linked and prev_any is not None \
+                    and L(main).dep == "dep":
+                L(main).dep = "advcl"
+                L(main).head_i = base + prev_any
 
-    # ---- post-verb attachments: objects and prepositional chains ----
-    def attach_np(h: int, head_tok: int, dep: str) -> None:
-        t = L(h)
-        if t.dep == "dep":
-            t.dep, t.head_i = dep, base + head_tok
+        # subject (acl clauses borrow their head via is_acl_without_subj);
+        # the root looks back over the whole sentence, subordinate clauses
+        # only past their own marker (no stealing from earlier clauses)
+        if g["kind"] != "acl" and not any(
+                c.dep in ("nsubj", "nsubjpass", "expl")
+                for c in (L(m) for m in range(n))
+                if c.head_i == base + main):
+            if g["kind"] == "root":
+                lo = -1
+            else:
+                lo = prev_any if prev_any is not None else -1
+                if marker_j is not None:
+                    lo = max(lo, marker_j)
+            cand = [h for h in np_heads if lo < h < start
+                    and L(h).dep == "dep"]
+            if cand:
+                s = cand[-1]
+                L(s).dep = "nsubjpass" if passive else "nsubj"
+                if L(s).text.lower() == "there":
+                    L(s).dep = "expl"
+                L(s).head_i = base + main
 
-    for gi, (main, auxes, passive) in enumerate(groups):
-        end = min((m for m in mains if m > main), default=n)
-        # stop at clause boundary introduced by SCONJ too
-        got_dobj = False
-        last_nominal = None        # local idx nouns can host PPs
+        # post-verb attachments up to the next group's clause start
+        end = starts[gi + 1] if gi + 1 < len(groups) else n
+        last_nominal = None
         k = main + 1
         while k < end:
             t = L(k)
-            if np_head_of[k] is not None and np_head_of[k] == k \
-                    and t.dep == "dep":
-                attach_np(k, main,
-                          "attr" if L(main).lemma == "be" else "dobj")
-                got_dobj = True
+            if t.pos == "SCONJ" or (t.pos == "CCONJ" and t.dep == "dep") \
+                    or (t.pos == "PRON" and t.text.lower() in _WH_PRON):
+                break
+            if np_head_of[k] == k and t.dep == "dep":
+                t.dep = "attr" if L(main).lemma == "be" else "dobj"
+                t.head_i = base + main
                 last_nominal = k
+            elif t.pos == "ADP" and t.tag == "RP":
+                t.dep, t.head_i = "prt", base + main
             elif t.pos == "ADP" and t.dep == "dep":
-                is_agent = passive and t.text.lower() == "by"
-                # PP attaches to an immediately preceding nominal, else verb
+                is_agent = L(main).tag == "VBN" and t.text.lower() == "by"
+                host, hdep = main, ("agent" if is_agent else "prep")
                 prev_k = k - 1
-                host = main
-                hdep = "agent" if is_agent else "prep"
-                if not is_agent and prev_k >= 0 \
+                if not is_agent and prev_k > main \
                         and np_head_of[prev_k] is not None \
                         and L(np_head_of[prev_k]).dep != "dep":
-                    host = np_head_of[prev_k]
-                    hdep = "prep"
+                    host, hdep = np_head_of[prev_k], "prep"
                 t.dep, t.head_i = hdep, base + host
-                # its object: head of the next noun phrase
                 j = k + 1
-                while j < end and L(j).pos not in ("VERB", "AUX") \
+                while j < end and L(j).pos not in ("VERB", "AUX", "ADP") \
                         and np_head_of[j] != j:
                     j += 1
                 if j < end and np_head_of[j] == j and L(j).dep == "dep":
                     L(j).dep, L(j).head_i = "pobj", base + k
                     last_nominal = j
-            elif t.pos == "CCONJ" and t.dep == "dep":
-                # nominal conjunction: A and B -> conj(B -> A)
-                j = k + 1
-                while j < end and np_head_of[j] is None:
-                    j += 1
-                prev_np = last_nominal
-                if j < end and np_head_of[j] == j and prev_np is not None \
-                        and L(j).dep == "dep":
-                    t.dep, t.head_i = "cc", base + prev_np
-                    L(j).dep, L(j).head_i = "conj", base + prev_np
             k += 1
 
     # leftovers dangle from the root
@@ -541,7 +654,7 @@ _PLUR_PRON = {"they", "them", "themselves"}
 def resolve_coref(doc: List[Tok]) -> None:
     """Nearest-antecedent pronoun resolution (coreferee stand-in): ``it``
     -> last singular NOUN subject/object before it, ``they/them`` -> last
-    plural; same or previous sentence."""
+    plural; subjects preferred."""
     seen: List[Tuple[Tok, bool]] = []
     for t in doc:
         lw = t.text.lower()
@@ -562,14 +675,21 @@ def resolve_coref(doc: List[Tok]) -> None:
             seen.append((t, t.dep in ("nsubj", "nsubjpass")))
 
 
-def annotate_node(content: str, mentions: Sequence[Dict]) -> List[Sent]:
-    """Full annotation of one node's content -> sentence list."""
+def annotate_text(content: str, mentions: Sequence[Dict]) -> List[Sent]:
+    """Full annotation of a text (node content or a whole document's
+    extracted text) -> sentence list."""
     toks = tokenize_with_mentions(content or "", mentions or [])
     tag(toks)
+    _mark_list_markers(toks)
     sent_toks = split_sentences(toks)
-    # re-index tokens doc-globally (they already are), parse per sentence
     for st in sent_toks:
         _parse_sentence(st)
     sents = make_doc(sent_toks)
-    resolve_coref([t for s in sents for t in s])
+    doc = [t for s in sents for t in s]
+    index_children(doc)
+    resolve_coref(doc)
     return sents
+
+
+#: backwards-compatible alias (per-node annotation is the same operation)
+annotate_node = annotate_text

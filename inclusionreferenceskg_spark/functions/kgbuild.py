@@ -1,39 +1,45 @@
-"""Per-node KG assembly: phrases -> kg node/edge rows + linker keys.
+"""Per-document KG assembly: node rows -> kg node/edge rows + linker keys.
 
-Pure-Python core of the graph-assembly UDF.  Faithful to
-``KGRenderer.render``/``_add_phrase`` (``kg_creation/kg_renderer.py:35-126``):
+Pure-Python core of the graph-assembly UDF, faithful to the reference's
+document-level analysis: ``nlp_doc`` concatenates node contents in
+pre-order (``content + "\\n"``, kg_renderer.py:151-159) and annotates the
+whole document at once — sentences may span node boundaries (enumeration
+lists: "shall contain: (a) the name ...; (b) the purposes ...") — and each
+token is assigned its owning document node by character offset
+(kg_renderer.py:164-177).  Graph assembly then follows
+``KGRenderer.render``/``_add_phrase`` (kg_renderer.py:35-126):
 
-* ``defines`` edges from the owning document node to each topmost
-  predicate; ``agent``/``patient`` edges predicate -> object;
-* objects wrapping a resolved reference mention are **rerouted** to the
-  target document node (``kg_renderer.py:74-94``);
-* nested phrases add predicate -> predicate edges labeled
-  agent/patient/conditional; a visited-set makes phrase cycles safe;
+* ``defines`` edges from the predicate token's document node;
+* ``agent``/``patient`` edges predicate -> object, with objects wrapping a
+  resolved reference mention **rerouted** to the target document node;
+* nested phrases add predicate -> predicate edges
+  (agent/patient/conditional); a visited-set makes cycles safe;
 * attribute extraction inlined: predicate negation
-  (``negation_extractor.py:14-26``) and agent/patient-edge preposition
-  chains (``preposition_extractor.py:17-37``);
-* every token-bearing kg node carries the blocking keys the entity linkers
-  group on (L1 same-token, L2 same-lemma-in-paragraph, L4 proper-noun) and
-  L3 "referred to in <ref>" candidates are matched here token-side
-  (``reference_linker.py:29-59``) — the expensive subtree join happens
-  relationally in Spark.
+  (negation_extractor.py:14-26) and preposition chains on agent/patient
+  edges (preposition_extractor.py:17-37);
+* token-bearing kg nodes carry the entity-linker blocking keys (L1
+  same-token, L2 same-lemma-in-paragraph, L4 proper-noun) and L3
+  "<obj> VERB/ADJ ADP+ <ref>" candidates (reference_linker.py:29-59).
 
-Edges are emitted with a write sequence so the reference's
-``add_edge``-overwrite semantics (one edge per (u,v), last write wins —
-``knowledge_graph.py:23-43``) can be replayed deterministically downstream.
+Edges carry a write sequence so the reference's ``add_edge`` overwrite
+semantics (one edge per (u,v), last write wins, knowledge_graph.py:23-43)
+replay deterministically downstream.
 """
 
 from __future__ import annotations
 
+import bisect
+import hashlib
 import itertools
 from typing import Dict, List, Optional, Sequence
 
+from inclusionreferenceskg_spark.functions.annotate import annotate_text
 from inclusionreferenceskg_spark.functions.doctree import DEPTH
 from inclusionreferenceskg_spark.functions.phrases import (
     Phrase,
     PhraseExtractor,
 )
-from inclusionreferenceskg_spark.functions.tokens import Sent, Tok
+from inclusionreferenceskg_spark.functions.tokens import Tok
 
 _PREP_DEPS = {"prep", "acomp"}
 
@@ -52,29 +58,55 @@ def paragraph_key(url: str, path: Sequence[Dict]) -> Optional[str]:
     return url + "|" + "/".join(prefix)
 
 
+def _coref_base(tok: Tok) -> Tok:
+    if tok.coref:
+        return tok.sent.doc[tok.coref[0]]
+    return tok
+
+
 def _coref_lemmas(tok: Tok) -> List[str]:
     doc = tok.sent.doc
     toks = [doc[j] for j in tok.coref] if tok.coref else [tok]
     return sorted({t.lemma for t in toks})
 
 
-def _coref_base(tok: Tok) -> Tok:
-    # L2 resolves the token again; extraction already replaced anaphors, so
-    # this is the identity for most tokens (see SURVEY §2.8 L2)
-    if tok.coref:
-        return tok.sent.doc[tok.coref[0]]
-    return tok
+def render_document(url: str, node_rows: List[Dict],
+                    mentions_by_node: Dict[str, List[Dict]],
+                    include_extensions: bool = False) -> Dict[str, list]:
+    """Assemble one document's graph rows.
 
-
-def render_node(url: str, node_id: str, path: Sequence[Dict],
-                sents: List[Sent],
-                include_extensions: bool = False) -> Dict[str, list]:
-    """Extract phrases from the node's sentences and assemble graph rows.
-
-    Returns {'kg_nodes': [...], 'kg_edges': [...], 'l3': [...]} where rows
-    are plain dicts (the UDF layer turns them into DataFrame rows).
+    :param node_rows: the document's nodes in pre-order (seq ascending),
+        dicts with node_id/content/path.
+    :param mentions_by_node: node_id -> [{'start','text','targets'}, ...]
+        with starts relative to the node's content.
+    :return: {'kg_nodes': [...], 'kg_edges': [...], 'l3': [...]}
     """
-    extractor = PhraseExtractor(id_prefix=f"{node_id}:")
+    prefix = hashlib.sha256(url.encode("utf-8")).hexdigest()[:12]
+
+    # N2: pre-order concatenation + per-node end offsets
+    parts: List[str] = []
+    ends: List[int] = []
+    pos = 0
+    doc_mentions: List[Dict] = []
+    for row in node_rows:
+        content = row["content"] or ""
+        for m in mentions_by_node.get(row["node_id"], []):
+            doc_mentions.append({"start": pos + m["start"], "text": m["text"],
+                                 "targets": m.get("targets") or []})
+        parts.append(content)
+        parts.append("\n")
+        pos += len(content) + 1
+        ends.append(pos)
+    raw_text = "".join(parts)
+
+    sents = annotate_text(raw_text, doc_mentions)
+    doc = [t for s in sents for t in s]
+
+    def node_of(tok: Tok) -> Dict:
+        i = bisect.bisect_right(ends, tok.idx)
+        return node_rows[min(i, len(node_rows) - 1)]
+
+    extractor = PhraseExtractor(id_prefix=f"{prefix}:")
     phrases: List[Phrase] = []
     for sent in sents:
         phrases.extend(
@@ -83,17 +115,21 @@ def render_node(url: str, node_id: str, path: Sequence[Dict],
     kg_nodes: Dict[str, Dict] = {}
     edges: List[Dict] = []
     added: set = set()
-    pkey = paragraph_key(url, path)
+    para_keys: Dict[str, Optional[str]] = {}
 
     def ensure_node(obj, kind: str) -> None:
         tok = obj.token
+        owner = node_of(tok)
+        nid = owner["node_id"]
+        if nid not in para_keys:
+            para_keys[nid] = paragraph_key(url, owner["path"])
         kg_nodes[obj.id] = {
-            "url": url, "kg_id": obj.id, "kind": kind, "node_id": node_id,
-            "token_key": f"{node_id}:{tok.i}",
+            "url": url, "kg_id": obj.id, "kind": kind, "node_id": nid,
+            "token_key": f"{prefix}:{tok.i}",
             "token_i": tok.i, "token_text": tok.text, "lemma": tok.lemma,
             "tag": tok.tag, "pos": tok.pos,
             "negated": None,
-            "para_key": pkey,
+            "para_key": para_keys[nid],
             "coref_lemma": _coref_base(tok).lemma,
             "coref_tag": _coref_base(tok).tag,
             "propn_key": (
@@ -109,8 +145,6 @@ def render_node(url: str, node_id: str, path: Sequence[Dict],
                       "attrs": attrs or {}, "emit_seq": len(edges)})
 
     def prep_attrs(obj) -> Optional[Dict[str, str]]:
-        """PrepositionExtractor: attach the prep/acomp chain above the
-        object token as an edge attribute."""
         tok = obj.token
         if tok.head.dep not in _PREP_DEPS:
             return None
@@ -126,7 +160,7 @@ def render_node(url: str, node_id: str, path: Sequence[Dict],
 
         if topmost:
             for pred in phrase.predicate:
-                emit(node_id, pred.id, "defines")
+                emit(node_of(pred.token)["node_id"], pred.id, "defines")
 
         for pred in phrase.predicate:
             ensure_node(pred, "predicate")
@@ -178,26 +212,14 @@ def render_node(url: str, node_id: str, path: Sequence[Dict],
     for phrase in phrases:
         add_phrase(phrase, topmost=True)
 
-    # L3 candidates: object token followed within 10 tokens by
-    # [any][VERB|ADJ][ADP+][REF]
+    # L3 candidates across the whole document
     l3 = []
     for row in kg_nodes.values():
         if row["kind"] != "object":
             continue
         tok_i = row["token_i"]
-        # find the token's sentence/doc
-        doc = None
-        for s in sents:
-            if s.start <= tok_i < s.end:
-                doc = s.doc
-                break
-        if doc is None:
-            continue
         window = doc[tok_i: tok_i + 10]
-        if len(window) < 4:
-            continue
-        t1 = window[1]
-        if t1.pos not in ("VERB", "ADJ"):
+        if len(window) < 4 or window[1].pos not in ("VERB", "ADJ"):
             continue
         j = 2
         if window[j].pos != "ADP":

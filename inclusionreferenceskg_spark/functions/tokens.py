@@ -17,13 +17,13 @@ from typing import Dict, Iterable, List, Optional, Sequence
 
 class Tok:
     __slots__ = ("i", "text", "lemma", "pos", "tag", "dep", "head_i", "sent",
-                 "is_ref", "ref_targets", "coref")
+                 "is_ref", "ref_targets", "coref", "idx", "_children")
 
     def __init__(self, i: int, text: str, lemma: str = None, pos: str = "X",
                  tag: str = "", dep: str = "dep", head_i: int = None,
                  is_ref: bool = False,
                  ref_targets: Optional[List[Dict]] = None,
-                 coref: Optional[List[int]] = None):
+                 coref: Optional[List[int]] = None, idx: int = 0):
         self.i = i
         self.text = text
         self.lemma = lemma if lemma is not None else text.lower()
@@ -37,6 +37,8 @@ class Tok:
         self.ref_targets = ref_targets or []
         # indices of coref antecedent tokens (doc-level), or None
         self.coref = coref
+        self.idx = idx           # char offset in the document text
+        self._children = None    # filled by index_children for O(1) access
 
     @property
     def head(self) -> "Tok":
@@ -44,6 +46,8 @@ class Tok:
 
     @property
     def children(self) -> List["Tok"]:
+        if self._children is not None:
+            return self._children
         return [t for t in self.sent.doc
                 if t.head_i == self.i and t.i != self.i]
 
@@ -90,6 +94,16 @@ def make_doc(token_lists: Sequence[Sequence[Tok]]) -> List[Sent]:
         for t in s:
             t.sent = s
     return sents
+
+
+def index_children(doc: List[Tok]) -> None:
+    """Precompute child lists (the property scans the doc otherwise, which
+    is O(n²) over page-sized docs)."""
+    for t in doc:
+        t._children = []
+    for t in doc:
+        if t.head_i != t.i:
+            doc[t.head_i]._children.append(t)
 
 
 def sent_from_spec(spec: Iterable[tuple]) -> Sent:

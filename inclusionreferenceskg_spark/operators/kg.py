@@ -21,14 +21,13 @@ components are within-document by construction (L1–L3) or per-surface-form
 
 from __future__ import annotations
 
-from typing import Iterable, Iterator
+from typing import Iterable
 
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F, types as T
 
-from inclusionreferenceskg_spark.functions.annotate import annotate_node
 from inclusionreferenceskg_spark.functions.grammar import detect
-from inclusionreferenceskg_spark.functions.kgbuild import render_node
+from inclusionreferenceskg_spark.functions.kgbuild import render_document
 
 GRAPH_ROWS = T.StructType([
     T.StructField("row_kind", T.StringType(), False),   # node|edge|l3
@@ -63,47 +62,58 @@ _COLS = [f.name for f in GRAPH_ROWS.fields]
 
 def extract_graph(nodes: DataFrame, resolved: DataFrame,
                   include_extensions: bool = False) -> DataFrame:
-    """nodes + resolved mentions -> wide graph rows (cache + split)."""
+    """nodes + resolved mentions -> wide graph rows.
+
+    Grouped per url (``applyInPandas``) because the reference analyzes the
+    whole document's concatenated text at once — sentences and coreference
+    span node boundaries (``nlp_doc``, kg_renderer.py:129-181).  One shuffle
+    on url; group size is bounded by a single page's node count.
+    """
     targets = (resolved
                .groupBy("url", "node_id")
                .agg(F.collect_list(F.struct("mention_idx", "qual_idx",
                                             "start", "text",
                                             "target_node_id", "target_url"))
                     .alias("mention_targets")))
-    src = (nodes.select("url", "node_id", "content", "path")
+    src = (nodes.select("url", "node_id", "seq", "content", "path")
            .join(targets, ["url", "node_id"], "left"))
 
-    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = []
-            for url, node_id, content, path, tgt in zip(
-                    pdf["url"], pdf["node_id"], pdf["content"], pdf["path"],
-                    pdf["mention_targets"]):
-                mentions = detect(content or "")
-                if not mentions and not (content or "").strip():
-                    continue
-                tmap = {}
-                if tgt is not None and len(tgt):
-                    for t in sorted(tgt, key=lambda x: (x["mention_idx"],
-                                                        x["qual_idx"])):
-                        tmap.setdefault((t["start"], t["text"]), []).append(
-                            {"node_id": t["target_node_id"],
-                             "url": t["target_url"]})
-                for m in mentions:
-                    m["targets"] = tmap.get((m["start"], m["text"]), [])
-                sents = annotate_node(content or "", mentions)
-                rows = render_node(url, node_id, list(path), sents,
-                                   include_extensions)
-                blank = dict.fromkeys(_COLS)
-                for r in rows["kg_nodes"]:
-                    out.append({**blank, "row_kind": "node", **r})
-                for r in rows["kg_edges"]:
-                    out.append({**blank, "row_kind": "edge", **r})
-                for r in rows["l3"]:
-                    out.append({**blank, "row_kind": "l3", **r})
-            yield pd.DataFrame(out, columns=_COLS, dtype=object)
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        pdf = pdf.sort_values("seq")
+        url = pdf["url"].iloc[0]
+        node_rows = []
+        mentions_by_node = {}
+        for node_id, content, path, tgt in zip(
+                pdf["node_id"], pdf["content"], pdf["path"],
+                pdf["mention_targets"]):
+            node_rows.append({"node_id": node_id, "content": content,
+                              "path": list(path)})
+            mentions = detect(content or "")
+            if not mentions:
+                continue
+            tmap = {}
+            if tgt is not None and len(tgt):
+                for t in sorted(tgt, key=lambda x: (x["mention_idx"],
+                                                    x["qual_idx"])):
+                    tmap.setdefault((t["start"], t["text"]), []).append(
+                        {"node_id": t["target_node_id"],
+                         "url": t["target_url"]})
+            for m in mentions:
+                m["targets"] = tmap.get((m["start"], m["text"]), [])
+            mentions_by_node[node_id] = mentions
+        rows = render_document(url, node_rows, mentions_by_node,
+                               include_extensions)
+        blank = dict.fromkeys(_COLS)
+        for r in rows["kg_nodes"]:
+            out.append({**blank, "row_kind": "node", **r})
+        for r in rows["kg_edges"]:
+            out.append({**blank, "row_kind": "edge", **r})
+        for r in rows["l3"]:
+            out.append({**blank, "row_kind": "l3", **r})
+        return pd.DataFrame(out, columns=_COLS, dtype=object)
 
-    return src.mapInPandas(run, GRAPH_ROWS)
+    return src.groupBy("url").applyInPandas(run, GRAPH_ROWS)
 
 
 def graph_nodes(wide: DataFrame) -> DataFrame:

@@ -1,0 +1,35 @@
+"""E4 golden-triple quality tracking vs the reference's evaluation set.
+
+Runs the pure-Python twin of the KG stages (scripts/eval_kg_triples.py) on
+GDPR Articles 29+30 and asserts the current quality floor.  The 0.95 target
+(BASELINE.json) requires closing the remaining gap between the rule-based
+annotator and spaCy's parser — tracked round over round; the floor below is
+the measured level at the time of writing and must never regress.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+REF = "/root/reference/inclusionreferenceskg"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference corpus not available")
+
+
+def test_kg_triples_floor():
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    import eval_kg_triples as ev
+
+    tp1, fp1, fn1 = ev.evaluate(29, "gdpr_article_29.csv", verbose=False)
+    tp2, fp2, fn2 = ev.evaluate(30, "gdpr_article_30.csv", verbose=False)
+    tp, fp, fn = tp1 + tp2, fp1 + fp2, fn1 + fn2
+    precision = tp / (tp + fp)
+    recall = tp / (tp + fn)
+    # measured r1: P=0.424 R=0.493 (annotator quality gap vs spaCy)
+    assert precision >= 0.38, (precision, recall)
+    assert recall >= 0.45, (precision, recall)

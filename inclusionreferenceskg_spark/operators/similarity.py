@@ -1,0 +1,120 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+* brute-force cosine top-k — the exact baseline: broadcast the (small)
+  query set against the full embedding table, JVM-side dot products via
+  higher-order array functions (no Python, no UDF);
+* LSH-bucketed ANN — the scale path: deterministic signed-random-projection
+  hyperplanes derived from the portable md5 hash (no RNG, resumable),
+  bucket join + rerank inside buckets only.
+
+At 10^12 rows the brute force is per-query O(n); the LSH variant shuffles
+once on bucket keys and reranks O(bucket) — the standard IVF/LSH trade.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _dot(a, b):
+    return F.expr(f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+                  f"cast(0 as double), (acc, v) -> acc + v)")
+
+
+def _norm(col):
+    return F.sqrt(F.expr(
+        f"aggregate({col}, cast(0 as double), (acc, v) -> acc + v * v)"))
+
+
+def cosine_topk(embeddings: DataFrame, n_queries: int = 5,
+                k: int = 10) -> DataFrame:
+    """Exact top-k neighbours by cosine for the first ``n_queries`` vectors
+    (query set broadcast; candidates never leave the JVM)."""
+    queries = (embeddings
+               .filter(F.col("vec_id") < n_queries)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("q")))
+    cands = embeddings.select("vec_id", "embedding")
+    joined = (cands.join(F.broadcast(queries),
+                         F.col("vec_id") != F.col("query_id"))
+              .withColumn("cosine",
+                          _dot("q", "embedding")
+                          / (_norm("q") * _norm("embedding"))))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id"))
+    return (joined.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "vec_id",
+                    F.round("cosine", 4).alias("cosine")))
+
+
+def _hyperplane(dim: int, plane: int) -> List[float]:
+    """Deterministic pseudo-random unit hyperplane: component j is derived
+    from md5(plane:j) mapped to [-1, 1].  No RNG -> identical across runs,
+    executors and engines."""
+    import hashlib
+    comps = []
+    for j in range(dim):
+        h = int(hashlib.md5(f"{plane}:{j}".encode()).hexdigest()[:8], 16)
+        comps.append((h / float(0xFFFFFFFF)) * 2.0 - 1.0)
+    n = math.sqrt(sum(c * c for c in comps)) or 1.0
+    return [c / n for c in comps]
+
+
+def srp_bucket(embeddings: DataFrame, n_planes: int = 8) -> DataFrame:
+    """Signed-random-projection bucket id per vector (JVM-side dots against
+    literal hyperplanes)."""
+    dim = len(embeddings.select("embedding").first()["embedding"])
+    sig = F.lit(0).cast("int")
+    for p in range(n_planes):
+        plane_sql = "array({})".format(",".join(
+            f"cast({c!r} as double)" for c in _hyperplane(dim, p)))
+        dot = F.expr(
+            f"aggregate(zip_with(embedding, {plane_sql}, (x, y) -> x * y), "
+            f"cast(0 as double), (acc, v) -> acc + v)")
+        sig = sig + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return embeddings.select("vec_id", "embedding",
+                             sig.alias("bucket"))
+
+
+def ann_lsh_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 5,
+                 n_planes: int = 6) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's SRP bucket,
+    exact cosine rerank inside the bucket."""
+    bucketed = srp_bucket(embeddings, n_planes)
+    queries = (bucketed.filter(F.col("vec_id") < n_queries)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("q"),
+                       F.col("bucket")))
+    joined = (bucketed.join(F.broadcast(queries), "bucket")
+              .filter(F.col("vec_id") != F.col("query_id"))
+              .withColumn("cosine",
+                          _dot("q", "embedding")
+                          / (_norm("q") * _norm("embedding"))))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id"))
+    return (joined.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "vec_id",
+                    F.round("cosine", 4).alias("cosine")))
+
+
+def embedding_neardup_pairs(embeddings: DataFrame,
+                            threshold: float = 0.95,
+                            n_planes: int = 6) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, bucketed by SRP signature
+    (exact cosines computed only within buckets)."""
+    bucketed = srp_bucket(embeddings, n_planes)
+    a = bucketed.select("bucket", F.col("vec_id").alias("a"),
+                        F.col("embedding").alias("ea"))
+    b = bucketed.select("bucket", F.col("vec_id").alias("b"),
+                        F.col("embedding").alias("eb"))
+    return (a.join(b, "bucket")
+            .filter(F.col("a") < F.col("b"))
+            .withColumn("cosine", _dot("ea", "eb") / (_norm("ea")
+                                                      * _norm("eb")))
+            .filter(F.col("cosine") >= threshold)
+            .select("a", "b", F.round("cosine", 4).alias("cosine")))

@@ -1,0 +1,106 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All JVM-side (built-in ``pyspark.sql.functions`` only — no Python in the hot
+path) and expressed so a DuckDB oracle is a direct SQL translation: language
+identification (stopword n-gram heuristic), quality scoring (length /
+punctuation / stopword ratios), token counting (whitespace + word-regex),
+and document fingerprinting (normalized md5 + 64-bit prefix hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+#: tiny per-language marker lexicons for the n-gram language heuristic
+LANG_MARKERS = {
+    "en": r"\b(the|and|of|to|in|is|that|for|with|shall)\b",
+    "de": r"\b(der|die|und|das|den|ist|nicht|mit|für|ein)\b",
+    "fr": r"\b(le|la|les|et|des|une|est|dans|pour|que)\b",
+    "es": r"\b(el|los|las|y|una|es|en|por|para|que)\b",
+}
+
+STOPWORD_RE = LANG_MARKERS["en"]
+WORD_RE = r"[A-Za-z0-9_]+"
+PUNCT_RE = r"[^A-Za-z0-9_\s]"
+
+
+def norm_text(col):
+    """lower + collapse whitespace — the shared normalization."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def hash64(col):
+    """Portable 64-bit hash: first 15 hex chars of md5 as a bigint.
+    DuckDB twin: ``cast('0x' || substring(md5(x),1,15) as bigint)``."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def token_counts(documents: DataFrame) -> DataFrame:
+    """Whitespace tokens + BPE-ish word/punct pieces per document."""
+    ws = F.size(F.split(norm_text(F.col("text")), r" "))
+    pieces = F.size(F.regexp_extract_all(
+        F.col("text"), F.lit(fr"{WORD_RE}|{PUNCT_RE}"), F.lit(0)))
+    return documents.select(
+        "doc_id",
+        ws.alias("ws_tokens"),
+        pieces.alias("piece_tokens"),
+        F.length("text").alias("chars"),
+    )
+
+
+def quality_scores(documents: DataFrame) -> DataFrame:
+    """Heuristic quality features + a composite score in [0, 1]."""
+    n_chars = F.length("text")
+    words = F.size(F.regexp_extract_all(F.col("text"), F.lit(WORD_RE),
+                                        F.lit(0)))
+    puncts = F.size(F.regexp_extract_all(F.col("text"), F.lit(PUNCT_RE),
+                                         F.lit(0)))
+    stops = F.size(F.regexp_extract_all(F.lower(F.col("text")),
+                                        F.lit(STOPWORD_RE), F.lit(0)))
+    word_ratio = words / F.greatest(n_chars, F.lit(1))
+    punct_ratio = puncts / F.greatest(words, F.lit(1))
+    stop_ratio = stops / F.greatest(words, F.lit(1))
+    score = (
+        F.least(n_chars / F.lit(2000.0), F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * F.lit(4.0), F.lit(1.0)) * 0.4
+        + (F.lit(1.0) - F.least(punct_ratio, F.lit(1.0))) * 0.2
+    )
+    return documents.select(
+        "doc_id",
+        words.alias("n_words"),
+        puncts.alias("n_puncts"),
+        stops.alias("n_stopwords"),
+        F.round(word_ratio, 6).alias("word_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """Marker-stopword language guess (argmax across lexicons, 'und' =
+    undetermined on zero evidence; ties break by language code order)."""
+    counts = {
+        lang: F.size(F.regexp_extract_all(F.lower(F.col("text")),
+                                          F.lit(rx), F.lit(0)))
+        for lang, rx in LANG_MARKERS.items()
+    }
+    best = F.greatest(*counts.values())
+    guess = F.when(best <= 0, F.lit("und"))
+    for lang in sorted(LANG_MARKERS):
+        guess = guess.when(counts[lang] == best, F.lit(lang))
+    return documents.select(
+        "doc_id",
+        *[counts[lang].alias(f"n_{lang}") for lang in sorted(LANG_MARKERS)],
+        guess.alias("lang_guess"),
+    )
+
+
+def fingerprints(documents: DataFrame) -> DataFrame:
+    """Normalized-content fingerprints: md5 + 64-bit prefix hash."""
+    normed = norm_text(F.col("text"))
+    return documents.select(
+        "doc_id",
+        F.md5(normed).alias("fp_md5"),
+        hash64(normed).alias("fp_h64"),
+    )

@@ -1,0 +1,554 @@
+"""The engine's query catalog: named queries + DuckDB oracle SQL.
+
+Every entry in ``QUERIES`` is a callable ``(spark, sf_dir) -> DataFrame``;
+entries with a key in ``ORACLES`` have a DuckDB-dialect twin executed over
+the same parquet tables (the driver's correctness gate).  Column names and
+rounding are aligned on both sides — aggregates are rounded so engine
+summation-order differences cannot flip the value hash.
+
+KG-pipeline queries (``kg_*``) run over pages deterministically synthesized
+from the ``documents`` table (no SQL oracle can replicate the stack-machine
+parser or NLP, so the driver records rows-only checks for those; the true
+correctness gates for the KG path are the golden-corpus pytest suites).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from inclusionreferenceskg_spark import synth
+from inclusionreferenceskg_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+    textstats,
+)
+from inclusionreferenceskg_spark.operators import kg as kg_ops
+from inclusionreferenceskg_spark.operators.detect import (
+    build_qualifiers,
+    detect_mentions,
+)
+from inclusionreferenceskg_spark.operators.parse import (
+    extract_text,
+    parse_pages,
+)
+from inclusionreferenceskg_spark.operators.resolve import resolve_targets
+
+#: cap for the documents-derived KG corpus in correctness runs (the full
+#: pipeline over every sf0.01 row would dominate the verify wall-clock)
+KG_DOC_LIMIT = 96
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _kg_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < KG_DOC_LIMIT)
+    return synth.pages_from_documents(docs)
+
+
+def _kg_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return parse_pages(_kg_pages(spark, sf_dir))
+
+
+# ---------------------------------------------------------------- relational
+
+def q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-01"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("sum_disc_price"),
+                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                 F.count("*").alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+def q3_top_orders(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cust = _t(spark, sf_dir, "customer")
+    return (li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .join(cust, orders["o_custkey"] == cust["c_custkey"])
+            .groupBy("o_orderkey", "c_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+            .limit(10))
+
+
+def q_broadcast_part_join(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    return (li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+            .groupBy("p_brand")
+            .agg(F.count("*").alias("n_items"),
+                 F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+            .orderBy("p_brand"))
+
+
+def q_window_latest_event(spark, sf_dir):
+    from pyspark.sql import Window
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id"))
+    return (ev.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "event_id", "event_type",
+                    F.unix_timestamp("ts").alias("ts_epoch"))
+            .orderBy("user_id"))
+
+
+def q_sessionize(spark, sf_dir):
+    from pyspark.sql import Window
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(
+        F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (ev.withColumn("new_sess", new_sess)
+            .groupBy("user_id")
+            .agg(F.sum("new_sess").alias("n_sessions"),
+                 F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .orderBy("user_id"))
+
+
+def q_rollup_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"),
+                 F.count("*").alias("n"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+def q_events_json(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (ev.withColumn("k", F.get_json_object("props", "$.k")
+                          .cast("int"))
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum("k").alias("sum_k"),
+                 F.max("k").alias("max_k"))
+            .orderBy("event_type"))
+
+
+# ----------------------------------------------------- text / dedup / ANN
+
+def docs_token_counts(spark, sf_dir):
+    return textstats.token_counts(
+        _t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def docs_quality(spark, sf_dir):
+    return textstats.quality_scores(
+        _t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def docs_lang_id(spark, sf_dir):
+    return textstats.lang_id(
+        _t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def docs_fingerprints(spark, sf_dir):
+    return textstats.fingerprints(
+        _t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def dedup_exact(spark, sf_dir):
+    return dedup.exact_duplicates(
+        _t(spark, sf_dir, "documents")).orderBy("text_hash")
+
+
+def dedup_minhash_signatures(spark, sf_dir):
+    return dedup.minhash_signatures(
+        _t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def dedup_minhash_pairs(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents")).orderBy("a", "b")
+
+
+def dedup_simhash(spark, sf_dir):
+    return dedup.simhash_signatures(
+        _t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def dedup_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.2).orderBy("a", "b")
+
+
+def ann_cosine_topk(spark, sf_dir):
+    return similarity.cosine_topk(
+        _t(spark, sf_dir, "embeddings")).orderBy("query_id", "rank")
+
+
+def ann_lsh_topk(spark, sf_dir):
+    return similarity.ann_lsh_topk(
+        _t(spark, sf_dir, "embeddings")).orderBy("query_id", "rank")
+
+
+def emb_neardup_pairs(spark, sf_dir):
+    return similarity.embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.9).orderBy("a", "b")
+
+
+def multimodal_image_meta(spark, sf_dir):
+    return multimodal.image_metadata(
+        _kg_pages(spark, sf_dir)).orderBy("url")
+
+
+# ------------------------------------------------------------- KG pipeline
+
+def kg_nodes(spark, sf_dir):
+    return _kg_nodes(spark, sf_dir).select(
+        "url", "node_id", "node_type", "depth", "number", "title",
+        "content", "parent_id", "seq").orderBy("url", "seq")
+
+
+def kg_extracted_text(spark, sf_dir):
+    return extract_text(_kg_pages(spark, sf_dir)) \
+        .select("url", "sha256").orderBy("url")
+
+
+def kg_mentions(spark, sf_dir):
+    return detect_mentions(_kg_nodes(spark, sf_dir)) \
+        .orderBy("url", "seq", "mention_idx")
+
+
+def kg_qualifiers(spark, sf_dir):
+    q = build_qualifiers(_kg_nodes(spark, sf_dir))
+    return q.select("url", "node_id", "mention_idx", "qual_idx", "text",
+                    "deep_type", "deep_number",
+                    F.to_json("qualifier").alias("qualifier_json")) \
+        .orderBy("url", "node_id", "mention_idx", "qual_idx")
+
+
+def kg_resolved(spark, sf_dir):
+    nodes = _kg_nodes(spark, sf_dir).cache()
+    res = resolve_targets(build_qualifiers(nodes), nodes)
+    return res.orderBy("url", "seq", "mention_idx", "qual_idx")
+
+
+def kg_triples(spark, sf_dir):
+    nodes = _kg_nodes(spark, sf_dir).cache()
+    res = resolve_targets(build_qualifiers(nodes), nodes)
+    _, _, _, triples = kg_ops.build_graph(nodes, res)
+    return triples.orderBy("url", "subject", "relation", "object")
+
+
+# ------------------------------------------------------------------ catalog
+
+QUERIES: Dict[str, Callable] = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_top_orders": q3_top_orders,
+    "q_broadcast_part_join": q_broadcast_part_join,
+    "q_window_latest_event": q_window_latest_event,
+    "q_sessionize": q_sessionize,
+    "q_rollup_revenue": q_rollup_revenue,
+    "q_events_json": q_events_json,
+    "docs_token_counts": docs_token_counts,
+    "docs_quality": docs_quality,
+    "docs_lang_id": docs_lang_id,
+    "docs_fingerprints": docs_fingerprints,
+    "dedup_exact": dedup_exact,
+    "dedup_minhash_signatures": dedup_minhash_signatures,
+    "dedup_minhash_pairs": dedup_minhash_pairs,
+    "dedup_simhash": dedup_simhash,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "ann_cosine_topk": ann_cosine_topk,
+    "ann_lsh_topk": ann_lsh_topk,
+    "emb_neardup_pairs": emb_neardup_pairs,
+    "multimodal_image_meta": multimodal_image_meta,
+    "kg_nodes": kg_nodes,
+    "kg_extracted_text": kg_extracted_text,
+    "kg_mentions": kg_mentions,
+    "kg_qualifiers": kg_qualifiers,
+    "kg_resolved": kg_resolved,
+    "kg_triples": kg_triples,
+}
+
+
+# DuckDB-dialect oracles.  Shared fragments:
+_H64 = "cast(('0x' || substring(md5({x}), 1, 15)) as bigint)"
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_WORD = "[A-Za-z0-9_]+"
+_PUNCT = "[^A-Za-z0-9_\\s]"
+_STOP = r"\b(the|and|of|to|in|is|that|for|with|shall)\b"
+
+_SHINGLES = (
+    "select doc_id, distinct_sh.sh as shingle from documents, lateral ("
+    " select distinct unnest(list_transform(range(1, greatest("
+    f"   len(string_split({_NORM}, ' ')) - 2, 1) + 1),"
+    f"   i -> array_to_string(string_split({_NORM}, ' ')[i:i+2], ' '))) as sh"
+    ") distinct_sh"
+)
+
+
+def _minhash_sig_sql() -> str:
+    aggs = ", ".join(
+        _H64.format(x=f"concat('{p}:', shingle)") + f" as h{p}"
+        for p in range(dedup.N_PERM))
+    mins = ", ".join(f"min(h{p}) as mh{p}" for p in range(dedup.N_PERM))
+    return (f"with sh as ({_SHINGLES}), hashed as "
+            f"(select doc_id, {aggs} from sh) "
+            f"select doc_id, {mins} from hashed group by doc_id")
+
+
+def _minhash_pairs_sql() -> str:
+    bands = []
+    for b in range(dedup.N_PERM // dedup.BAND_R):
+        cols = "||'_'||".join(
+            f"cast(mh{i} as varchar)"
+            for i in range(b * dedup.BAND_R, (b + 1) * dedup.BAND_R))
+        bands.append(f"select doc_id, {b} as band, md5({cols}) as bucket "
+                     f"from sig")
+    union = " union all ".join(bands)
+    return (f"with sig as ({_minhash_sig_sql()}), buckets as ({union}), "
+            "sized as (select *, count(*) over (partition by band, bucket) "
+            "as bucket_size from buckets), ok as (select * from sized where "
+            "bucket_size <= 50) "
+            "select distinct x.doc_id as a, y.doc_id as b from ok x join ok "
+            "y on x.band = y.band and x.bucket = y.bucket and "
+            "x.doc_id < y.doc_id order by a, b")
+
+
+def _simhash_sql() -> str:
+    h = _H64.format(x="tok")
+    bit_sums = ", ".join(
+        f"sum(case when (h >> {i}) & 1 = 1 then 1 else -1 end) as s{i}"
+        for i in range(dedup.SIMHASH_BITS))
+    sim = " + ".join(
+        f"case when s{i} > 0 then {1 << i} else 0 end"
+        for i in range(dedup.SIMHASH_BITS))
+    return (
+        "with toks as (select doc_id, distinct_t.tok from documents, lateral"
+        f" (select distinct unnest(string_split({_NORM}, ' ')) as tok)"
+        f" distinct_t), hashed as (select doc_id, {h} as h from toks),"
+        f" sums as (select doc_id, {bit_sums} from hashed group by doc_id)"
+        f" select doc_id, cast({sim} as bigint) as simhash from sums"
+        " order by doc_id")
+
+
+def _ngram_jaccard_sql() -> str:
+    return (
+        f"with sig as ({_minhash_sig_sql()}), "
+        + "buckets as ("
+        + " union all ".join(
+            "select doc_id, {b} as band, md5({cols}) as bucket from sig"
+            .format(b=b, cols="||'_'||".join(
+                f"cast(mh{i} as varchar)"
+                for i in range(b * dedup.BAND_R, (b + 1) * dedup.BAND_R)))
+            for b in range(dedup.N_PERM // dedup.BAND_R))
+        + "), sized as (select *, count(*) over (partition by band, bucket)"
+        " as bucket_size from buckets), ok as (select * from sized where"
+        " bucket_size <= 50), cands as (select distinct x.doc_id as a,"
+        " y.doc_id as b from ok x join ok y on x.band = y.band and"
+        " x.bucket = y.bucket and x.doc_id < y.doc_id),"
+        f" sets as (select doc_id, list_distinct(list_transform(range(1,"
+        f" greatest(len(string_split({_NORM}, ' ')) - 2, 1) + 1),"
+        f" i -> array_to_string(string_split({_NORM}, ' ')[i:i+2], ' ')))"
+        " as sh from documents)"
+        " select a, b, round(cast(len(list_intersect(sa.sh, sb.sh)) as"
+        " double) / len(list_distinct(sa.sh || sb.sh)), 6) as jaccard"
+        " from cands join sets sa on sa.doc_id = a join sets sb on"
+        " sb.doc_id = b"
+        " where cast(len(list_intersect(sa.sh, sb.sh)) as double) /"
+        " len(list_distinct(sa.sh || sb.sh)) >= 0.2 order by a, b")
+
+
+def _srp_bucket_sql(n_planes: int) -> str:
+    # same deterministic hyperplanes as operators/similarity.py
+    from inclusionreferenceskg_spark.operators.similarity import _hyperplane
+    import duckdb  # noqa: F401 (documented dependency of the oracle side)
+    dim = 64
+    terms = []
+    for p in range(n_planes):
+        arr = "[" + ",".join(repr(c) for c in _hyperplane(dim, p)) + "]"
+        terms.append(f"case when list_dot_product(embedding, {arr}) > 0 "
+                     f"then {1 << p} else 0 end")
+    return " + ".join(terms)
+
+
+def _ann_cosine_sql() -> str:
+    return (
+        "with q as (select vec_id as query_id, embedding as qe from"
+        " embeddings where vec_id < 5), scored as (select q.query_id,"
+        " e.vec_id, list_dot_product(q.qe, e.embedding) /"
+        " (sqrt(list_dot_product(q.qe, q.qe)) *"
+        " sqrt(list_dot_product(e.embedding, e.embedding))) as cos"
+        " from embeddings e join q on e.vec_id != q.query_id),"
+        " ranked as (select query_id, vec_id, cos, row_number() over"
+        " (partition by query_id order by cos desc, vec_id asc) as rank"
+        " from scored)"
+        " select query_id, rank, vec_id, round(cos, 4) as cosine from ranked"
+        " where rank <= 10 order by query_id, rank")
+
+
+def _ann_lsh_sql() -> str:
+    sig = _srp_bucket_sql(6)
+    return (
+        f"with bucketed as (select vec_id, embedding, {sig} as bucket from"
+        " embeddings), q as (select vec_id as query_id, embedding as qe,"
+        " bucket from bucketed where vec_id < 5), scored as (select"
+        " q.query_id, e.vec_id, list_dot_product(q.qe, e.embedding) /"
+        " (sqrt(list_dot_product(q.qe, q.qe)) *"
+        " sqrt(list_dot_product(e.embedding, e.embedding))) as cos"
+        " from bucketed e join q on e.bucket = q.bucket and"
+        " e.vec_id != q.query_id), ranked as (select query_id, vec_id, cos,"
+        " row_number() over (partition by query_id order by cos desc,"
+        " vec_id asc) as rank from scored)"
+        " select query_id, rank, vec_id, round(cos, 4) as cosine from ranked"
+        " where rank <= 5 order by query_id, rank")
+
+
+def _emb_neardup_sql() -> str:
+    sig = _srp_bucket_sql(6)
+    return (
+        f"with bucketed as (select vec_id, embedding, {sig} as bucket from"
+        " embeddings) select x.vec_id as a, y.vec_id as b,"
+        " round(list_dot_product(x.embedding, y.embedding) /"
+        " (sqrt(list_dot_product(x.embedding, x.embedding)) *"
+        " sqrt(list_dot_product(y.embedding, y.embedding))), 4) as cosine"
+        " from bucketed x join bucketed y on x.bucket = y.bucket and"
+        " x.vec_id < y.vec_id"
+        " where list_dot_product(x.embedding, y.embedding) /"
+        " (sqrt(list_dot_product(x.embedding, x.embedding)) *"
+        " sqrt(list_dot_product(y.embedding, y.embedding))) >= 0.9"
+        " order by a, b")
+
+
+ORACLES: Dict[str, str] = {
+    "q1_pricing_summary": """
+        select l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) as sum_qty,
+               round(sum(l_extendedprice), 2) as sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)
+                   as sum_disc_price,
+               round(avg(l_quantity), 4) as avg_qty,
+               count(*) as count_order
+        from lineitem
+        where l_shipdate <= timestamp '1998-09-01'
+        group by l_returnflag, l_linestatus
+        order by l_returnflag, l_linestatus""",
+    "q3_top_orders": """
+        select o_orderkey, c_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue
+        from lineitem
+        join orders on l_orderkey = o_orderkey
+        join customer on o_custkey = c_custkey
+        group by o_orderkey, c_name
+        order by revenue desc, o_orderkey asc
+        limit 10""",
+    "q_broadcast_part_join": """
+        select p_brand, count(*) as n_items,
+               round(sum(l_quantity), 2) as sum_qty
+        from lineitem join part on l_partkey = p_partkey
+        where p_size <= 10
+        group by p_brand order by p_brand""",
+    "q_window_latest_event": """
+        select user_id, event_id, event_type, cast(floor(epoch(ts)) as bigint) as ts_epoch
+        from (select *, row_number() over (partition by user_id
+              order by ts desc, event_id desc) as rn from events)
+        where rn = 1 order by user_id""",
+    "q_sessionize": """
+        with g as (select user_id, ts, value,
+                   floor(epoch(ts)) - floor(epoch(lag(ts) over (partition by user_id
+                       order by ts, event_id))) as gap
+                   from events)
+        select user_id,
+               sum(case when gap is null or gap > 1800 then 1 else 0 end)
+                   as n_sessions,
+               count(*) as n_events,
+               round(sum(value), 2) as sum_value
+        from g group by user_id order by user_id""",
+    "q_rollup_revenue": """
+        select l_returnflag, l_linestatus,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue,
+               count(*) as n
+        from lineitem
+        group by rollup(l_returnflag, l_linestatus)
+        order by l_returnflag, l_linestatus""",
+    "q_events_json": """
+        select event_type, count(*) as n,
+               sum(cast(json_extract_string(props, '$.k') as int)) as sum_k,
+               max(cast(json_extract_string(props, '$.k') as int)) as max_k
+        from events group by event_type order by event_type""",
+    "docs_token_counts": f"""
+        select doc_id,
+               len(string_split({_NORM}, ' ')) as ws_tokens,
+               len(regexp_extract_all(text, '{_WORD}|{_PUNCT}'))
+                   as piece_tokens,
+               length(text) as chars
+        from documents order by doc_id""",
+    "docs_quality": f"""
+        select doc_id,
+               len(regexp_extract_all(text, '{_WORD}')) as n_words,
+               len(regexp_extract_all(text, '{_PUNCT}')) as n_puncts,
+               len(regexp_extract_all(lower(text), '{_STOP}'))
+                   as n_stopwords,
+               round(len(regexp_extract_all(text, '{_WORD}')) * 1.0 /
+                     greatest(length(text), 1), 6) as word_ratio,
+               round(len(regexp_extract_all(text, '{_PUNCT}')) * 1.0 /
+                     greatest(len(regexp_extract_all(text, '{_WORD}')), 1),
+                     6) as punct_ratio,
+               round(len(regexp_extract_all(lower(text), '{_STOP}')) * 1.0 /
+                     greatest(len(regexp_extract_all(text, '{_WORD}')), 1),
+                     6) as stop_ratio,
+               round(least(length(text) / 2000.0, 1.0) * 0.4 +
+                     least((len(regexp_extract_all(lower(text), '{_STOP}'))
+                            * 1.0 / greatest(len(regexp_extract_all(text,
+                            '{_WORD}')), 1)) * 4.0, 1.0) * 0.4 +
+                     (1.0 - least(len(regexp_extract_all(text, '{_PUNCT}'))
+                            * 1.0 / greatest(len(regexp_extract_all(text,
+                            '{_WORD}')), 1), 1.0)) * 0.2, 6)
+                   as quality_score
+        from documents order by doc_id""",
+    "docs_fingerprints": f"""
+        select doc_id, md5({_NORM}) as fp_md5,
+               {_H64.format(x=_NORM)} as fp_h64
+        from documents order by doc_id""",
+    "dedup_exact": f"""
+        select md5({_NORM}) as text_hash, min(doc_id) as keep_doc_id,
+               count(*) as n_copies
+        from documents group by 1 order by text_hash""",
+    "dedup_minhash_signatures":
+        _minhash_sig_sql() + " order by doc_id",
+    "dedup_minhash_pairs": _minhash_pairs_sql(),
+    "dedup_simhash": _simhash_sql(),
+    "dedup_ngram_jaccard": _ngram_jaccard_sql(),
+    "ann_cosine_topk": _ann_cosine_sql(),
+    "ann_lsh_topk": _ann_lsh_sql(),
+    "emb_neardup_pairs": _emb_neardup_sql(),
+}
+
+
+def _lang_id_sql() -> str:
+    from inclusionreferenceskg_spark.operators.textstats import LANG_MARKERS
+    counts = {
+        lang: f"len(regexp_extract_all(lower(text), '{rx}'))"
+        for lang, rx in LANG_MARKERS.items()
+    }
+    best = "greatest(" + ", ".join(counts.values()) + ")"
+    whens = " ".join(
+        f"when {counts[lang]} = {best} then '{lang}'"
+        for lang in sorted(LANG_MARKERS))
+    cols = ", ".join(
+        f"{counts[lang]} as n_{lang}" for lang in sorted(LANG_MARKERS))
+    return (f"select doc_id, {cols}, case when {best} <= 0 then 'und' "
+            f"{whens} end as lang_guess from documents order by doc_id")
+
+
+ORACLES["docs_lang_id"] = _lang_id_sql()

@@ -1,0 +1,85 @@
+"""Local twin of the driver's correctness gate: run every catalog query on
+Spark AND its DuckDB oracle on the same parquet tables, compare row count,
+column names, and an order-insensitive value hash."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.001")
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _canon(v):
+    if v is None:
+        return "\\N"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.6g}"
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def _value_hash(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    lines = sorted(
+        "\x1f".join(_canon(row[i]) for i in order) for row in rows)
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode("utf-8"))
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(path):
+            con.execute(
+                f"create view {t} as select * from read_parquet('{path}')")
+    yield con
+    con.close()
+
+
+ORACLE_KEYS = sorted(entry_mod.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", ORACLE_KEYS)
+def test_query_matches_oracle(spark, ddb, name, sf_dir):
+    q = entry_mod.queries()[name]
+    sdf = q(spark, SF_DIR)
+    spark_cols = [c.lower() for c in sdf.columns]
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    cur = ddb.execute(entry_mod.oracle_sql()[name])
+    duck_cols = [d[0].lower() for d in cur.description]
+    duck_rows = cur.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), name
+    assert len(spark_rows) == len(duck_rows), (
+        name, len(spark_rows), len(duck_rows))
+    # map spark row order to its own column list before hashing
+    sh = _value_hash(spark_rows, spark_cols)
+    dh = _value_hash(duck_rows, duck_cols)
+    assert sh == dh, f"{name}: value hash mismatch"
+
+
+def test_rows_only_queries_run(spark):
+    # non-oracle queries must at least execute and return stable schemas
+    qs = entry_mod.queries()
+    for name in ("kg_extracted_text", "multimodal_image_meta"):
+        df = qs[name](spark, SF_DIR)
+        assert df.count() > 0, name

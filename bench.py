@@ -1,0 +1,87 @@
+"""Benchmark harness.
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: ``{"metric": "triples_per_sec", "value": N, "unit": "sec", "queries":
+{...}, "sf": ...}``.
+
+The headline metric is the BASELINE.json target: end-to-end KG-construction
+throughput (emitted triples per second) over the deterministic synthetic
+corpus derived from the ``documents`` table.  Per-query wall-clock seconds
+for the other operator families are reported under ``queries``.
+
+Scaling runs (`scripts/bench_scaling.py`) execute this same script in fresh
+JVMs at two parallelism levels and record BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+#: per-query benchmark set (name -> catalog key); kg_triples is the
+#: headline and measured separately for the throughput metric
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q_window_latest_event",
+    "q_sessionize",
+    "docs_token_counts",
+    "docs_lang_id",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "emb_neardup_pairs",
+    "kg_nodes",
+    "kg_mentions",
+    "kg_resolved",
+]
+
+
+def main() -> None:
+    from inclusionreferenceskg_spark import queries as catalog
+    from inclusionreferenceskg_spark.session import get_spark
+
+    spark = get_spark("irkg-bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings = {}
+    for name in BENCH_QUERIES:
+        fn = catalog.QUERIES[name]
+        t0 = time.perf_counter()
+        n = fn(spark, SF_DIR).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        _ = n
+
+    # headline: end-to-end triples/sec (parse -> detect -> resolve ->
+    # annotate/extract -> link -> CC -> triples)
+    t0 = time.perf_counter()
+    triples = catalog.kg_triples(spark, SF_DIR)
+    n_triples = triples.count()
+    kg_secs = time.perf_counter() - t0
+    timings["kg_triples"] = round(kg_secs, 3)
+
+    out = {
+        "metric": "triples_per_sec",
+        "value": round(n_triples / kg_secs, 2),
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "cpus": CPUS,
+        "n_triples": n_triples,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -238,10 +238,15 @@ def connected_components(pairs: DataFrame, max_iter: int = 12) -> DataFrame:
     edges = (pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
              .union(pairs.select(F.col("b").alias("x"),
                                  F.col("a").alias("y")))
-             .distinct())
+             .distinct()
+             # materialize once: every iteration joins against this, and
+             # without the checkpoint the whole upstream linker plan would
+             # re-execute per iteration (and per convergence count)
+             .localCheckpoint(eager=True))
     labels = (edges.select(F.col("x").alias("id"))
               .distinct()
-              .withColumn("label", F.col("id")))
+              .withColumn("label", F.col("id"))
+              .localCheckpoint(eager=True))
     for _ in range(max_iter):
         nbr_min = (edges
                    .join(labels, edges["y"] == labels["id"])

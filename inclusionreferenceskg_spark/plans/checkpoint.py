@@ -1,0 +1,48 @@
+"""Checkpointed pipeline: per-stage materialized tables + resume.
+
+Each stage (nodes, qualifiers, resolved, graph, triples) commits to the
+catalog with a lineage manifest; ``run_checkpointed`` skips any stage whose
+manifest already exists, so a killed run resumes from the last completed
+stage and produces byte-identical results (all stages are deterministic —
+hash ids, min-id merge winners, no wall-clock anywhere in the dataflow).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from inclusionreferenceskg_spark.operators import kg as kg_ops
+from inclusionreferenceskg_spark.operators.detect import build_qualifiers
+from inclusionreferenceskg_spark.operators.parse import parse_pages
+from inclusionreferenceskg_spark.operators.resolve import resolve_targets
+from inclusionreferenceskg_spark.sources.catalog import Catalog
+
+
+def run_checkpointed(spark: SparkSession, pages: DataFrame,
+                     workdir: str, resume: bool = True) -> DataFrame:
+    """pages -> triples with per-stage commit + resume; returns triples."""
+    cat = Catalog(workdir)
+
+    def stage(name, build, partition_by=(), bucket_url=None):
+        if resume and cat.is_complete(name):
+            return cat.read(spark, name)
+        return cat.write(name, build(), partition_by=partition_by,
+                         bucket_url=bucket_url)
+
+    nodes = stage("nodes", lambda: parse_pages(pages), bucket_url="url")
+    quals = stage("qualifiers", lambda: build_qualifiers(nodes))
+    resolved = stage("resolved", lambda: resolve_targets(quals, nodes))
+    wide = stage("graph_rows",
+                 lambda: kg_ops.extract_graph(nodes, resolved))
+
+    def build_triples():
+        kn = kg_ops.graph_nodes(wide)
+        ke = kg_ops.graph_edges(wide).unionByName(
+            kg_ops.contains_edges(nodes))
+        pairs = kg_ops.entity_link_pairs(kn, kg_ops.l3_candidates(wide),
+                                         nodes)
+        canon = kg_ops.connected_components(pairs)
+        final_edges = kg_ops.apply_merges(kn, ke, canon)
+        return kg_ops.make_triples(final_edges, kn, canon, nodes)
+
+    return stage("triples", build_triples)

@@ -37,8 +37,14 @@ from inclusionreferenceskg_spark.operators.parse import (
 from inclusionreferenceskg_spark.operators.resolve import resolve_targets
 
 #: cap for the documents-derived KG corpus in correctness runs (the full
-#: pipeline over every sf0.01 row would dominate the verify wall-clock)
+#: pipeline over every sf0.01 row would dominate the verify wall-clock);
+#: bench overrides via SPARK_GRAFT_KG_DOCS
 KG_DOC_LIMIT = 96
+
+
+def _kg_doc_limit() -> int:
+    import os
+    return int(os.environ.get("SPARK_GRAFT_KG_DOCS", KG_DOC_LIMIT))
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -47,7 +53,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def _kg_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").filter(
-        F.col("doc_id") < KG_DOC_LIMIT)
+        F.col("doc_id") < _kg_doc_limit())
     return synth.pages_from_documents(docs)
 
 

@@ -1,0 +1,99 @@
+"""Table catalog: Iceberg-style partitioned tables with lineage manifests.
+
+The production design targets Iceberg tables partitioned by
+``(lang, bucket(url))``; no Iceberg runtime jar ships in this sandbox, so
+this module provides the documented fallback (SURVEY §7.0): Parquet tables
+with the identical logical schema and partition directory layout plus a
+hand-written per-partition manifest under ``_lineage/`` — which the
+checkpoint-resume path needs anyway.  The DataFrame-facing API is identical
+either way (``writeTo(...).partitionedBy(lang, bucket(N, url))`` maps 1:1).
+
+Manifest rows: ``(stage, partition, rows, checksum, wall_ms, written_at)``
+— a resumed run reads the manifest and skips completed stages.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+DEFAULT_BUCKETS = 16
+
+
+def with_bucket(df: DataFrame, url_col: str = "url",
+                n_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
+    """Stable hash bucket column (the bucket(url) transform)."""
+    return df.withColumn(
+        "url_bucket", F.pmod(F.xxhash64(F.col(url_col)), F.lit(n_buckets)))
+
+
+class Catalog:
+    """A directory-backed table catalog with lineage manifests."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(os.path.join(root, "_lineage"), exist_ok=True)
+
+    def table_path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def _manifest_path(self, name: str) -> str:
+        return os.path.join(self.root, "_lineage", f"{name}.json")
+
+    def is_complete(self, name: str) -> bool:
+        return os.path.exists(self._manifest_path(name))
+
+    def write(self, name: str, df: DataFrame,
+              partition_by: Sequence[str] = (),
+              bucket_url: Optional[str] = None,
+              n_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
+        """Write a stage table + manifest; returns the re-read DataFrame
+        (cuts lineage like an Iceberg commit)."""
+        t0 = time.perf_counter()
+        cols = list(partition_by)
+        if bucket_url:
+            df = with_bucket(df, bucket_url, n_buckets)
+            cols.append("url_bucket")
+        writer = df.write.mode("overwrite")
+        if cols:
+            writer = writer.partitionBy(*cols)
+        path = self.table_path(name)
+        writer.parquet(path)
+
+        spark = df.sparkSession
+        out = spark.read.parquet(path)
+        if cols:
+            part_rows = [
+                {"partition": "/".join(f"{c}={r[c]}" for c in cols),
+                 "rows": r["rows"]}
+                for r in out.groupBy(*cols)
+                .agg(F.count("*").alias("rows")).collect()
+            ]
+        else:
+            part_rows = [{"partition": "", "rows": out.count()}]
+        hashable = [c for c, t in out.dtypes if not t.startswith("map")]
+        checksum = out.agg(
+            F.expr("bit_xor(xxhash64({}))".format(
+                ", ".join(f"`{c}`" for c in hashable)))
+            .alias("c")).first()["c"]
+        manifest = {
+            "stage": name,
+            "partitions": part_rows,
+            "rows": sum(p["rows"] for p in part_rows),
+            "checksum": str(checksum),
+            "wall_ms": int((time.perf_counter() - t0) * 1000),
+        }
+        with open(self._manifest_path(name), "w") as f:
+            json.dump(manifest, f, indent=1)
+        return out
+
+    def read(self, spark: SparkSession, name: str) -> DataFrame:
+        return spark.read.parquet(self.table_path(name))
+
+    def manifest(self, name: str) -> dict:
+        with open(self._manifest_path(name)) as f:
+            return json.load(f)

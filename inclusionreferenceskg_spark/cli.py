@@ -1,0 +1,72 @@
+"""spark-submit entry point.
+
+Usage (package shipped via --py-files):
+
+    spark-submit --py-files irkg.zip -m inclusionreferenceskg_spark.cli \\
+        synth --out /data/pages --n 100000
+    spark-submit ... run --pages /data/pages --workdir /data/kg [--no-resume]
+    spark-submit ... stream --in /data/drops --out /data/triples \\
+        --checkpoint /data/ckpt
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from inclusionreferenceskg_spark import synth
+from inclusionreferenceskg_spark.plans.checkpoint import run_checkpointed
+from inclusionreferenceskg_spark.session import get_spark
+from inclusionreferenceskg_spark.sources.catalog import Catalog
+from inclusionreferenceskg_spark.streaming.pipeline import (
+    run_stream_to_triples,
+)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="irkg-spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p_synth = sub.add_parser("synth", help="generate a synthetic pages table")
+    p_synth.add_argument("--out", required=True)
+    p_synth.add_argument("--n", type=int, default=1000)
+    p_synth.add_argument("--seed", type=int, default=42)
+
+    p_run = sub.add_parser("run", help="pages parquet -> KG tables")
+    p_run.add_argument("--pages", required=True)
+    p_run.add_argument("--workdir", required=True)
+    p_run.add_argument("--no-resume", action="store_true")
+
+    p_stream = sub.add_parser("stream", help="streaming drop dir -> triples")
+    p_stream.add_argument("--in", dest="inp", required=True)
+    p_stream.add_argument("--out", required=True)
+    p_stream.add_argument("--checkpoint", required=True)
+
+    args = ap.parse_args(argv)
+    spark = get_spark("irkg-cli")
+
+    if args.cmd == "synth":
+        synth.synthesize_pages(spark, args.n, seed=args.seed) \
+            .write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"written": args.out, "n": args.n}))
+    elif args.cmd == "run":
+        pages = spark.read.parquet(args.pages)
+        triples = run_checkpointed(spark, pages, args.workdir,
+                                   resume=not args.no_resume)
+        cat = Catalog(args.workdir)
+        print(json.dumps({
+            "triples": triples.count(),
+            "manifests": {s: cat.manifest(s)["rows"]
+                          for s in ("nodes", "qualifiers", "resolved",
+                                    "graph_rows", "triples")},
+        }))
+    elif args.cmd == "stream":
+        q = run_stream_to_triples(spark, args.inp, args.out, args.checkpoint)
+        q.awaitTermination()
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

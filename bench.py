@@ -63,9 +63,16 @@ def main() -> None:
         _ = n
 
     # headline: end-to-end triples/sec (parse -> detect -> resolve ->
-    # annotate/extract -> link -> CC -> triples)
+    # annotate/extract -> link -> CC -> triples) over the deterministic
+    # synthetic corpus; size via SPARK_GRAFT_BENCH_DOCS
+    from inclusionreferenceskg_spark import synth
+    from inclusionreferenceskg_spark.plans.pipeline import run_pipeline
+
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "5000"))
+    pages = synth.synthesize_pages(spark, n_docs,
+                                   partitions=max(CPUS * 2, 16))
     t0 = time.perf_counter()
-    triples = catalog.kg_triples(spark, SF_DIR)
+    triples = run_pipeline(pages).triples
     n_triples = triples.count()
     kg_secs = time.perf_counter() - t0
     timings["kg_triples"] = round(kg_secs, 3)

@@ -41,6 +41,30 @@ def _path_match_udf(path: pd.Series, qualifier: pd.Series) -> pd.Series:
     ])
 
 
+#: JVM-side path-subsequence confirm.  Equivalent to
+#: ``pathmatch.path_matches`` under two structural guarantees: paths have
+#: strictly increasing depths with each node type at most once (tree
+#: construction), and qualifier patterns contain at most one element per
+#: type (product semantics in qualify.resolve_mentions) — which reduces the
+#: subsequence automaton (incl. its child-pruning rule) to: the deepest
+#: element matches the candidate itself (enforced by the join keys), and
+#: every other element matches the unique same-type path entry.  Documents
+#: get the reference's lenient substring title matching
+#: (node/document.py:17-27); Root matches the virtual corpus root.
+def _path_confirm():
+    return F.expr("""
+        forall(qualifier, q ->
+            q.node_type = 'Root' OR
+            exists(cand_path, p ->
+                p.node_type = q.node_type
+                AND (q.number <=> p.number OR q.number = -1)
+                AND (q.title IS NULL OR q.title <=> p.title OR q.title = '-1'
+                     OR (q.node_type = 'Document' AND p.title IS NOT NULL
+                         AND (instr(lower(p.title), lower(q.title)) > 0
+                              OR instr(lower(q.title), lower(p.title)) > 0)))))
+    """)
+
+
 def document_titles(nodes: DataFrame) -> DataFrame:
     """The per-corpus document dimension (one row per page's Document node)."""
     return (nodes
@@ -69,20 +93,35 @@ def resolve_targets(qualifiers: DataFrame, nodes: DataFrame) -> DataFrame:
                    .select(*base_cols,
                            F.col("target_url").alias("join_url")))
 
-    # cross-document patterns: lenient Document-title match against the
-    # broadcast title dimension yields candidate urls
+    # cross-document patterns: resolve the Document title in two passes —
+    # exact normalized-title equi-join first (covers almost everything and
+    # scales as a plain hash join), lenient substring containment
+    # (document.py:17-27) only for the unresolved remainder, as a broadcast
+    # nested-loop over the small title dimension
     cross_doc = qualifiers.filter(
         F.col("target_url").isNull() & F.col("doc_title").isNotNull())
+    titles = document_titles(nodes).withColumn(
+        "title_norm", F.lower(F.trim(F.col("doc_title_actual"))))
+
+    exact = (cross_doc
+             .withColumn("title_norm", F.lower(F.trim(F.col("doc_title"))))
+             .join(titles, "title_norm", "inner")
+             .select(*base_cols, F.col("resolved_url").alias("join_url")))
+
+    remainder = (cross_doc
+                 .withColumn("title_norm",
+                             F.lower(F.trim(F.col("doc_title"))))
+                 .join(titles.select("title_norm"), "title_norm",
+                       "left_anti"))
     lenient = (
-        (F.col("doc_title") == F.col("doc_title_actual"))
-        | F.lower(F.col("doc_title_actual")).contains(F.lower(F.col("doc_title")))
+        F.lower(F.col("doc_title_actual")).contains(F.lower(F.col("doc_title")))
         | F.lower(F.col("doc_title")).contains(F.lower(F.col("doc_title_actual")))
     )
-    cross_with_url = (cross_doc
-                      .join(F.broadcast(document_titles(nodes)), lenient,
-                            "inner")
-                      .select(*base_cols,
-                              F.col("resolved_url").alias("join_url")))
+    lenient_match = (remainder
+                     .join(F.broadcast(titles), lenient, "inner")
+                     .select(*base_cols,
+                             F.col("resolved_url").alias("join_url")))
+    cross_with_url = exact.unionByName(lenient_match)
 
     quals = same_corpus.unionByName(cross_with_url)
 
@@ -102,14 +141,19 @@ def resolve_targets(qualifiers: DataFrame, nodes: DataFrame) -> DataFrame:
     )
     joined = doc_level.unionByName(inner_level)
 
-    confirmed = joined.filter(_path_match_udf(F.col("cand_path"),
-                                              F.col("qualifier")))
+    confirmed = joined.filter(_path_confirm())
 
-    # first target in document order (the reference keeps only targets[0])
-    w = Window.partitionBy("url", "node_id", "mention_idx", "qual_idx") \
-        .orderBy("target_doc_rank", "target_url", "target_seq")
+    # first target in document order (the reference keeps only targets[0]);
+    # min(struct) instead of a row_number window so the reduction combines
+    # map-side before the shuffle
+    keys = ["url", "node_id", "seq", "mention_idx", "start", "text",
+            "qual_idx"]
+    target = F.struct("target_doc_rank", "target_url", "target_seq",
+                      "target_node_id").alias("t")
     return (confirmed
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("url", "node_id", "seq", "mention_idx", "start", "text",
-                    "qual_idx", "target_url", "target_node_id", "target_seq"))
+            .select(*keys, target)
+            .groupBy(*keys)
+            .agg(F.min("t").alias("t"))
+            .select(*keys, F.col("t.target_url").alias("target_url"),
+                    F.col("t.target_node_id").alias("target_node_id"),
+                    F.col("t.target_seq").alias("target_seq")))

@@ -161,8 +161,12 @@ def pages_from_documents(documents: DataFrame, seed: int = 42) -> DataFrame:
     document row seeds one synthetic EU-style page, with the document's own
     text woven in as paragraph filler (ties results to real input data while
     keeping the structure parseable)."""
-    n_docs = 0  # resolved lazily below via a count — cheap on parquet stats
     n_docs = documents.count()
+    # a small parquet source arrives as 1-2 splits; spread the (expensive)
+    # downstream per-page UDF work across the cluster before generating
+    spark = documents.sparkSession
+    documents = documents.repartition(
+        max(spark.sparkContext.defaultParallelism, 8), "doc_id")
 
     def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

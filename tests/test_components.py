@@ -1,0 +1,82 @@
+"""Connected-components + merge-rewrite semantics.
+
+Merge-pair data lifted from the reference's batched-merge tests
+(tests/kg_creation/test_knolwedge_graph.py): chained/cyclic/complete merge
+groups must collapse to one canonical node per component; edge rewrite must
+drop self-loops and redirect in/out edges (merge semantics,
+knowledge_graph.py:64-112).  The reference's nondeterministic set.pop()
+winner is determinized to min-id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from inclusionreferenceskg_spark.operators.kg import (
+    apply_merges,
+    connected_components,
+)
+
+
+def _pairs(spark, pairs):
+    return spark.createDataFrame(
+        [("u://x", a, b) for a, b in pairs], "url string, a string, b string")
+
+
+def test_batched_merge_single_component(spark):
+    pairs = _pairs(spark, [("1", "2"), ("2", "3"), ("3", "1"),
+                           ("4", "1"), ("5", "2"), ("6", "3")])
+    canon = connected_components(pairs)
+    labels = {r["kg_id"]: r["canon_id"] for r in canon.collect()}
+    assert set(labels.values()) == {"1"}
+    assert set(labels) == {"1", "2", "3", "4", "5", "6"}
+
+
+def test_batch_merge_components(spark):
+    merges = [("1", "2"), ("2", "3"), ("3", "4"), ("2", "4"),
+              ("5", "6"), ("6", "7"),
+              ("9", "10"), ("9", "11"), ("9", "12"),
+              ("10", "11"), ("10", "12"), ("11", "12")]
+    canon = connected_components(_pairs(spark, merges))
+    labels = {r["kg_id"]: r["canon_id"] for r in canon.collect()}
+    # node 8 never merged -> absent from the map (identity by default)
+    assert "8" not in labels
+    comps = {}
+    for k, v in labels.items():
+        comps.setdefault(v, set()).add(k)
+    # canonical = lexicographic min id ("10" < "9"; real kg ids are
+    # fixed-width so lexicographic == insertion-stable)
+    assert comps == {
+        "1": {"1", "2", "3", "4"},
+        "5": {"5", "6", "7"},
+        "10": {"9", "10", "11", "12"},
+    }
+
+
+def test_merge_edge_rewrite(spark):
+    # u <- o1, u -> o2, v -> o3, o4 -> v; merge(u, v) keeps all four edges
+    # on the canonical node and drops any u<->v edges as self loops
+    edges = spark.createDataFrame(
+        [("u://x", "o1", "u", "dummy", None, 0),
+         ("u://x", "u", "o2", "dummy", None, 1),
+         ("u://x", "v", "o3", "dummy", None, 2),
+         ("u://x", "o4", "v", "dummy", None, 3),
+         ("u://x", "u", "v", "dummy", None, 4)],
+        "url string, src string, dst string, label string, "
+        "attrs map<string,string>, emit_seq int")
+    canon = connected_components(_pairs(spark, [("u", "v")]))
+    final = apply_merges(None, edges, canon)
+    got = {(r["src"], r["dst"]) for r in final.collect()}
+    assert got == {("o1", "u"), ("u", "o2"), ("u", "o3"), ("o4", "u")}
+
+
+def test_duplicate_edges_keep_last_write(spark):
+    edges = spark.createDataFrame(
+        [("u://x", "a", "b", "patient", None, 0),
+         ("u://x", "a", "b", "agent", None, 7)],
+        "url string, src string, dst string, label string, "
+        "attrs map<string,string>, emit_seq int")
+    canon = connected_components(_pairs(spark, []))
+    final = apply_merges(None, edges, canon).collect()
+    assert len(final) == 1
+    assert final[0]["label"] == "agent"  # last write wins (add_edge overwrite)

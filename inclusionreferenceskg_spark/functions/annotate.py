@@ -247,8 +247,11 @@ def tag(toks: List[Tok]) -> None:
             t.lemma = lemmatize(t.text, "VERB")
         # "to" + base verb = infinitival marker, otherwise preposition
         if t.text.lower() == "to":
+            nxt_lw = nxt.text.lower() if nxt is not None else ""
             if nxt is not None and (_verb_form(nxt.text) == "VB"
-                                    or nxt.pos == "VERB"):
+                                    or nxt.pos == "VERB"
+                                    or nxt_lw in BE or nxt_lw in HAVE
+                                    or nxt_lw in DO):
                 t.pos, t.tag = "PART", "TO"
             else:
                 t.pos, t.tag = "ADP", "IN"
@@ -274,6 +277,13 @@ def tag(toks: List[Tok]) -> None:
             t.lemma = lemmatize(t.text, "NOUN")
         # verb form directly after a determiner is a noun ("the record")
         if t.pos == "VERB" and prev is not None and prev.pos == "DET":
+            t.pos = "NOUN"
+            t.tag = "NNS" if t.text.lower().endswith("s") else "NN"
+            t.lemma = lemmatize(t.text, "NOUN")
+        # suffix-guessed adjective in subject-head position ("the
+        # controller's representative shall ...") is a noun
+        if t.pos == "ADJ" and nxt is not None and (
+                nxt.pos == "AUX" or nxt.tag == "POS"):
             t.pos = "NOUN"
             t.tag = "NNS" if t.text.lower().endswith("s") else "NN"
             t.lemma = lemmatize(t.text, "NOUN")
@@ -422,6 +432,15 @@ def _parse_sentence(toks: List[Tok]) -> None:
             pending = ("anchor", None)
         elif t.tag == "LS" or t.text in ("(", ")"):
             pass  # enumeration marker: keep pending state
+        elif t.pos == "ADP" and pending is not None and pending[1] is not None:
+            pass  # coordinated PPs: "of the controller or of the processor"
+        elif pending is not None and pending[1] is not None and (
+                t.pos in ("ADV",)
+                or (t.pos == "SCONJ" and k + 1 < n
+                    and L(k + 1).pos in ("ADJ", "ADV"))
+                or (t.pos == "ADJ" and k + 1 < n
+                    and L(k + 1).pos == "PUNCT")):
+            pass  # parenthetical between conjuncts: "and, where applicable,"
         elif np_head_of[k] is not None:
             pass  # inside an NP run
         else:
@@ -614,6 +633,13 @@ def _parse_sentence(toks: List[Tok]) -> None:
         k = main + 1
         while k < end:
             t = L(k)
+            if t.pos == "SCONJ" and k + 1 < end and L(k + 1).pos == "ADP":
+                # prepositional subordinator ("except on instructions"):
+                # mark on the verb, keep scanning the PP
+                if t.dep == "dep":
+                    t.dep, t.head_i = "mark", base + main
+                k += 1
+                continue
             if t.pos == "SCONJ" or (t.pos == "CCONJ" and t.dep == "dep") \
                     or (t.pos == "PRON" and t.text.lower() in _WH_PRON):
                 break

@@ -30,6 +30,7 @@ def test_kg_triples_floor():
     tp, fp, fn = tp1 + tp2, fp1 + fp2, fn1 + fn2
     precision = tp / (tp + fp)
     recall = tp / (tp + fn)
-    # measured r1: P=0.424 R=0.493 (annotator quality gap vs spaCy)
-    assert precision >= 0.38, (precision, recall)
-    assert recall >= 0.45, (precision, recall)
+    # measured r1: P=0.453 R=0.534 (annotator quality gap vs spaCy; note the
+    # golden CSV is hand-authored — the reference itself does not score 1.0)
+    assert precision >= 0.43, (precision, recall)
+    assert recall >= 0.50, (precision, recall)

@@ -25,6 +25,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# the local JVM hosts driver+executors+caches; size for the 128 GiB box
+os.environ.setdefault("SPARK_DRIVER_MEMORY", "32g")
 
 #: per-query benchmark set (name -> catalog key); kg_triples is the
 #: headline and measured separately for the throughput metric

@@ -20,7 +20,7 @@ from __future__ import annotations
 from typing import Iterable, Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 from inclusionreferenceskg_spark import schema
 from inclusionreferenceskg_spark.functions.grammar import detect
@@ -43,6 +43,45 @@ def detect_mentions(nodes: DataFrame) -> DataFrame:
 
     return nodes.select("url", "node_id", "seq", "content").mapInPandas(
         run, schema.MENTIONS)
+
+
+def detect_gold_mentions(nodes: DataFrame, gold: DataFrame) -> DataFrame:
+    """Gold-standard detection (D3): greedy in-order ``str.find`` of the
+    expected mention list over a document's nodes in pre-order
+    (``gold_standard_reference_detector.py:34-46``).  The gold list is
+    per-url state, so this runs as one ``applyInPandas`` group per url.
+
+    :param gold: (url, seq, text) expected mentions in document order.
+    """
+    import json as _json
+
+    golds = (gold.groupBy("url")
+             .agg(F.to_json(F.array_sort(F.collect_list(
+                 F.struct("seq", "text")))).alias("gold_json")))
+    src = (nodes.select("url", "node_id", "seq", "content")
+           .join(golds, "url", "inner"))
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("seq")
+        pending = [g["text"] for g in _json.loads(pdf["gold_json"].iloc[0])]
+        out = []
+        for url, node_id, seq, content in zip(
+                pdf["url"], pdf["node_id"], pdf["seq"], pdf["content"]):
+            content = content or ""
+            offset = 0
+            idx = 0
+            while pending:
+                ind = content.find(pending[0], offset)
+                if ind == -1:
+                    break
+                text = pending.pop(0)
+                out.append((url, node_id, seq, idx, ind, text))
+                offset = ind + len(text)
+                idx += 1
+        return pd.DataFrame(out, columns=["url", "node_id", "seq",
+                                          "mention_idx", "start", "text"])
+
+    return src.groupBy("url").applyInPandas(run, schema.MENTIONS)
 
 
 def _qualifier_row_fields(qualifier):

@@ -71,6 +71,19 @@ def image_metadata(pages: DataFrame,
     return pages.select("url", binary_col).mapInPandas(run, IMAGE_META)
 
 
+def html_to_text(pages: DataFrame, binary_col: str = "html") -> DataFrame:
+    """Fallback text extraction from the raw ``html`` payload (the S1
+    equivalent: the pipeline normally consumes the pre-extracted ``text``
+    column; this exists for rows where only ``html`` is populated).
+    JVM-side: decode + strip tags/scripts + collapse whitespace."""
+    raw = F.decode(F.col(binary_col), "UTF-8")
+    no_script = F.regexp_replace(
+        raw, r"(?is)<(script|style)[^>]*>.*?</\1>", " ")
+    no_tags = F.regexp_replace(no_script, r"(?s)<[^>]+>", " ")
+    text = F.trim(F.regexp_replace(no_tags, r"\s+", " "))
+    return pages.select("url", text.alias("extracted_text"))
+
+
 def binary_stats(pages: DataFrame, binary_col: str = "html") -> DataFrame:
     """Pure-JVM metadata over a binary column (no Python at all)."""
     return pages.select(

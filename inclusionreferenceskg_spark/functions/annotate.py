@@ -268,11 +268,11 @@ def tag(toks: List[Tok]) -> None:
         if t.pos == "VERB" and t.tag == "VBD" and nxt is not None and \
                 (nxt.pos == "ADP" or nxt.tag == "TO"):
             t.tag = "VBN"
-        # gerund after a preposition or modifying a following noun is nominal
-        # ("of processing activities")
+        # gerund after a preposition/determiner is nominal ("of processing
+        # activities"); verb-adjacent gerunds ("... disclosed including
+        # recipients") stay verbal
         if t.pos == "VERB" and t.tag == "VBG" and (
-                (prev is not None and prev.pos in ("ADP", "DET"))
-                or (nxt is not None and nxt.pos in ("NOUN", "PROPN"))):
+                prev is not None and prev.pos in ("ADP", "DET")):
             t.pos, t.tag = "NOUN", "NN"
             t.lemma = lemmatize(t.text, "NOUN")
         # verb form directly after a determiner is a noun ("the record")
@@ -349,14 +349,19 @@ def _parse_sentence(toks: List[Tok]) -> None:
         return toks[i]
 
     # ---- 1. noun-phrase chunking ----
+    def _np_member(i: int) -> bool:
+        t = L(i)
+        if t.pos == "PRON" and t.text.lower() in _WH_PRON:
+            return False  # relative pronouns head their own clause
+        return t.pos in _NP_POS or t.tag == "POS"
+
     np_head_of = [None] * n
     np_run_end = [None] * n
     k = 0
     while k < n:
-        if L(k).pos in _NP_POS or L(k).tag == "POS":
+        if _np_member(k):
             j = k
-            while j + 1 < n and (L(j + 1).pos in _NP_POS
-                                 or L(j + 1).tag == "POS"):
+            while j + 1 < n and _np_member(j + 1):
                 j += 1
             h = None
             for m in range(j, k - 1, -1):
@@ -499,26 +504,38 @@ def _parse_sentence(toks: List[Tok]) -> None:
                 L(main).dep = "acl"
                 L(main).head_i = base + np_head_of[j]
                 continue
-        # "..., who has ..." / "which shall ..."
+        # "..., who has ..." / "which shall ..." / "to whom the data have ..."
         j = g["start"] - 1
         while j >= 0 and L(j).pos in ("ADV", "PUNCT"):
             j -= 1
+        # the relative pronoun may sit before the clause's subject NP
+        skipped_subject = False
+        if j >= 0 and np_head_of[j] is not None \
+                and not (L(j).pos == "PRON"
+                         and L(j).text.lower() in _WH_PRON):
+            run_head = np_head_of[j]
+            while j >= 0 and np_head_of[j] == run_head:
+                j -= 1
+            while j >= 0 and L(j).pos in ("ADV", "PUNCT"):
+                j -= 1
+            skipped_subject = True
         wh = None
         if j >= 0 and L(j).pos == "PRON" and L(j).text.lower() in _WH_PRON:
             wh = j
-        elif j >= 0 and np_head_of[j] == j and L(j).pos == "PRON" \
-                and L(j).text.lower() in _WH_PRON:
-            wh = j
         if wh is not None:
             jj = wh - 1
-            while jj >= 0 and L(jj).pos == "PUNCT":
+            while jj >= 0 and L(jj).pos in ("PUNCT", "ADP"):
                 jj -= 1
             if jj >= 0 and np_head_of[jj] is not None:
                 g["kind"] = "relcl"
                 L(main).dep = "relcl"
                 L(main).head_i = base + np_head_of[jj]
-                L(wh).dep = "nsubjpass" if g["passive"] else "nsubj"
-                L(wh).head_i = base + main
+                if not skipped_subject:
+                    # "who has ...": the pronoun is the clause subject;
+                    # "to whom the data have ...": the clause has its own
+                    # subject and the pronoun stays a dangling oblique
+                    L(wh).dep = "nsubjpass" if g["passive"] else "nsubj"
+                    L(wh).head_i = base + main
 
     unclassified = [g for g in groups if g["kind"] is None]
     root_main = unclassified[0]["main"] if unclassified else groups[0]["main"]

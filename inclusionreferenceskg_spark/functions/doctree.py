@@ -212,6 +212,7 @@ def flatten_tree(document: Dict, url: str) -> List[Dict]:
             "content": node["content"],
             "parent_id": parent_id,
             "path": list(path),
+            "para_key": paragraph_key_for(url, path),
             "seq": seq,
         })
         seq += 1
@@ -220,6 +221,21 @@ def flatten_tree(document: Dict, url: str) -> List[Dict]:
     # fix pre-order: the stack above assigns seq in pre-order only if we pop
     # parents before children, which we do; reversed() keeps sibling order.
     return rows
+
+
+def paragraph_key_for(url: str, path) -> Optional[str]:
+    """Serialized identity of the enclosing Paragraph (the L2 entity-linker
+    blocking key, same_lemma_in_same_paragraph_linker.py:27-40); None above
+    Paragraph depth.  Materialized at parse time so downstream stages never
+    ship the full path array."""
+    if not path or DEPTH[path[-1]["node_type"]] < DEPTH["Paragraph"]:
+        return None
+    prefix = []
+    for el in path:
+        prefix.append(f"{el['node_type']}:{el['number']}")
+        if DEPTH[el["node_type"]] >= DEPTH["Paragraph"]:
+            break
+    return url + "|" + "/".join(prefix)
 
 
 def parse_page(url: str, title: str, text: str,

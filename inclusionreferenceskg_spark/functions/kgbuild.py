@@ -76,7 +76,8 @@ def render_document(url: str, node_rows: List[Dict],
     """Assemble one document's graph rows.
 
     :param node_rows: the document's nodes in pre-order (seq ascending),
-        dicts with node_id/content/path.
+        dicts with node_id/content/para_key (the full path array is not
+        needed here — the L2 blocking key was materialized at parse time).
     :param mentions_by_node: node_id -> [{'start','text','targets'}, ...]
         with starts relative to the node's content.
     :return: {'kg_nodes': [...], 'kg_edges': [...], 'l3': [...]}
@@ -115,21 +116,18 @@ def render_document(url: str, node_rows: List[Dict],
     kg_nodes: Dict[str, Dict] = {}
     edges: List[Dict] = []
     added: set = set()
-    para_keys: Dict[str, Optional[str]] = {}
 
     def ensure_node(obj, kind: str) -> None:
         tok = obj.token
         owner = node_of(tok)
         nid = owner["node_id"]
-        if nid not in para_keys:
-            para_keys[nid] = paragraph_key(url, owner["path"])
         kg_nodes[obj.id] = {
             "url": url, "kg_id": obj.id, "kind": kind, "node_id": nid,
             "token_key": f"{prefix}:{tok.i}",
             "token_i": tok.i, "token_text": tok.text, "lemma": tok.lemma,
             "tag": tok.tag, "pos": tok.pos,
             "negated": None,
-            "para_key": para_keys[nid],
+            "para_key": owner.get("para_key"),
             "coref_lemma": _coref_base(tok).lemma,
             "coref_tag": _coref_base(tok).tag,
             "propn_key": (

@@ -75,7 +75,7 @@ def extract_graph(nodes: DataFrame, resolved: DataFrame,
                                             "start", "text",
                                             "target_node_id", "target_url"))
                     .alias("mention_targets")))
-    src = (nodes.select("url", "node_id", "seq", "content", "path")
+    src = (nodes.select("url", "node_id", "seq", "content", "para_key")
            .join(targets, ["url", "node_id"], "left"))
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -84,11 +84,11 @@ def extract_graph(nodes: DataFrame, resolved: DataFrame,
         url = pdf["url"].iloc[0]
         node_rows = []
         mentions_by_node = {}
-        for node_id, content, path, tgt in zip(
-                pdf["node_id"], pdf["content"], pdf["path"],
+        for node_id, content, para_key, tgt in zip(
+                pdf["node_id"], pdf["content"], pdf["para_key"],
                 pdf["mention_targets"]):
             node_rows.append({"node_id": node_id, "content": content,
-                              "path": list(path)})
+                              "para_key": para_key})
             mentions = detect(content or "")
             if not mentions:
                 continue

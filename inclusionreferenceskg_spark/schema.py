@@ -36,6 +36,7 @@ NODES = T.StructType([
     T.StructField("content", T.StringType()),
     T.StructField("parent_id", T.StringType()),
     T.StructField("path", T.ArrayType(PATH_ELEMENT), False),
+    T.StructField("para_key", T.StringType()),
     T.StructField("seq", T.LongType(), False),
 ])
 

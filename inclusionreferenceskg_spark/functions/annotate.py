@@ -668,7 +668,17 @@ def _parse_sentence(toks: List[Tok]) -> None:
                 t.dep, t.head_i = "prt", base + main
             elif t.pos == "ADP" and t.dep == "dep":
                 is_agent = L(main).tag == "VBN" and t.text.lower() == "by"
-                host, hdep = main, ("agent" if is_agent else "prep")
+                agent_host = main
+                head_local = L(main).head_i - base
+                if not is_agent and t.text.lower() == "by" \
+                        and 0 <= head_local < n and head_local != main \
+                        and L(head_local).tag == "VBN":
+                    # "required to do so by ..." — the by-agent belongs to
+                    # the governing passive participle
+                    is_agent = True
+                    agent_host = head_local
+                host, hdep = ((agent_host, "agent") if is_agent
+                              else (main, "prep"))
                 prev_k = k - 1
                 if not is_agent and prev_k > main \
                         and np_head_of[prev_k] is not None \

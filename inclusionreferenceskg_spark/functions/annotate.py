@@ -68,6 +68,7 @@ VERB_BASE = {
     "communicate", "record", "report", "review", "verify", "examine",
     "determine", "consider", "deem", "treat", "base", "follow", "accompany",
     "suspend", "withdraw", "revoke", "impose", "limit", "extend", "exercise",
+    "employ", "result", "occur", "arise", "belong", "depend", "consist",
 }
 
 _IRREGULAR_PAST = {
@@ -80,7 +81,18 @@ _IRREGULAR_PAST = {
     "withdrawn": "withdraw",
 }
 
-_PLURAL_NOT_VERB = set()  # reserved for tuning
+#: ambiguous plural forms that are (in the legal register) always nouns —
+#: "transfers of personal data", "the time limits for", "the records
+#: referred to"; verbal uses ("which processes", "concerns", "results
+#: from") stay out of this set.
+_PLURAL_NOT_VERB = {"transfers", "limits", "records"}
+
+#: suffix fragments produced by soft-hyphen line breaks in the source PDFs
+#: ("identifi cation", "representa tive"): blockize deletes U+00AD but the
+#: line-break space survives, so the tokenizer rejoins fragment pairs whose
+#: first half is not itself a known word.
+_FRAG_SUFFIX = {"tion", "tions", "cation", "cations", "sion", "sions",
+                "tive", "tives", "ment", "ments", "ance", "ence", "bility"}
 
 
 def lemmatize(word: str, pos: str) -> str:
@@ -173,7 +185,24 @@ def tokenize_with_mentions(content: str,
                         idx=s))
         pos_cursor = s + len(t)
     _plain(content[pos_cursor:], pos_cursor)
-    return toks
+
+    # rejoin soft-hyphen line-break fragments ("identifi cation")
+    out: List[Tok] = []
+    known = VERB_BASE | DET | PRON | ADP | SCONJ | CCONJ | MODALS | BE \
+        | HAVE | DO | ADV
+    for t in toks:
+        if (out and not t.is_ref and not out[-1].is_ref
+                and t.text.lower() in _FRAG_SUFFIX
+                and out[-1].text.isalpha() and out[-1].text.islower()
+                and len(out[-1].text) >= 4
+                and out[-1].text.lower() not in known
+                and _verb_form(out[-1].text) is None):
+            out[-1].text = out[-1].text + t.text
+        else:
+            out.append(t)
+    for k, t in enumerate(out):
+        t.i = k
+    return out
 
 
 def tag(toks: List[Tok]) -> None:
@@ -219,7 +248,9 @@ def tag(toks: List[Tok]) -> None:
             t.pos, t.tag = "ADV", "RB"
         else:
             vtag = _verb_form(w)
-            if vtag is not None:
+            if vtag == "VBZ" and lw in _PLURAL_NOT_VERB:
+                t.pos, t.tag = "NOUN", "NNS"
+            elif vtag is not None:
                 t.pos, t.tag = "VERB", vtag
             elif lw.endswith("ly") and len(lw) > 3:
                 t.pos, t.tag = "ADV", "RB"
@@ -269,23 +300,35 @@ def tag(toks: List[Tok]) -> None:
                 (nxt.pos == "ADP" or nxt.tag == "TO"):
             t.tag = "VBN"
         # gerund after a preposition/determiner is nominal ("of processing
-        # activities"); verb-adjacent gerunds ("... disclosed including
-        # recipients") stay verbal
+        # activities")
         if t.pos == "VERB" and t.tag == "VBG" and (
                 prev is not None and prev.pos in ("ADP", "DET")):
             t.pos, t.tag = "NOUN", "NN"
             t.lemma = lemmatize(t.text, "NOUN")
+        # "including" directly after a verb ("disclosed including
+        # recipients") is the preposition sense, not a participial clause
+        if t.text.lower() == "including" and t.pos == "VERB" \
+                and prev is not None and prev.pos == "VERB":
+            t.pos, t.tag = "ADP", "IN"
         # verb form directly after a determiner is a noun ("the record")
         if t.pos == "VERB" and prev is not None and prev.pos == "DET":
             t.pos = "NOUN"
             t.tag = "NNS" if t.text.lower().endswith("s") else "NN"
             t.lemma = lemmatize(t.text, "NOUN")
         # suffix-guessed adjective in subject-head position ("the
-        # controller's representative shall ...") is a noun
-        if t.pos == "ADJ" and nxt is not None and (
-                nxt.pos == "AUX" or nxt.tag == "POS"):
+        # controller's representative shall ...") is a noun; likewise after
+        # a genitive marker ("the processor's representative,")
+        if t.pos == "ADJ" and ((nxt is not None and (
+                nxt.pos == "AUX" or nxt.tag == "POS"))
+                or (prev is not None and prev.tag == "POS")):
             t.pos = "NOUN"
             t.tag = "NNS" if t.text.lower().endswith("s") else "NN"
+            t.lemma = lemmatize(t.text, "NOUN")
+        # bare verb form directly after a preposition is nominal
+        # ("available ... on request")
+        if t.pos == "VERB" and t.tag == "VB" and prev is not None \
+                and prev.pos == "ADP" and prev.tag == "IN":
+            t.pos, t.tag = "NOUN", "NN"
             t.lemma = lemmatize(t.text, "NOUN")
 
 
@@ -361,8 +404,12 @@ def _parse_sentence(toks: List[Tok]) -> None:
     while k < n:
         if _np_member(k):
             j = k
-            while j + 1 < n and _np_member(j + 1):
-                j += 1
+            # a personal pronoun is its own NP ("the processing it carries
+            # out" is NP + NP + verb, not one chunk headed by the pronoun)
+            if L(k).pos != "PRON":
+                while j + 1 < n and _np_member(j + 1) \
+                        and L(j + 1).pos != "PRON":
+                    j += 1
             h = None
             for m in range(j, k - 1, -1):
                 if L(m).pos in _NP_HEAD_POS:
@@ -405,7 +452,10 @@ def _parse_sentence(toks: List[Tok]) -> None:
     # bound them).
     anchor = None
     prev_head = None
-    pending = None  # None | ("local"|"anchor", cconj_idx|None)
+    enum_anchor = None  # NP before a ':' — survives verb resets so that
+    # "; (f) ..." items keep conj-linking into the colon enumeration even
+    # after an embedded relative clause introduced a verb
+    pending = None  # None | ("local"|"anchor"|"enum", cconj_idx|None)
     for k in range(n):
         t = L(k)
         if t.pos in ("VERB", "AUX"):
@@ -417,8 +467,21 @@ def _parse_sentence(toks: List[Tok]) -> None:
             followed_by_verb = nxt < n and L(nxt).pos in ("VERB", "AUX")
             if pending is not None:
                 mode, cconj = pending
-                target = prev_head if mode == "local" else anchor
-                if target is not None and \
+                target = (prev_head if mode == "local"
+                          else anchor if mode == "anchor" else enum_anchor)
+                if target is not None and mode == "local" \
+                        and cconj is not None and cconj == k - 1 \
+                        and target == k - 2 and L(target).pos == "PROPN" \
+                        and not L(target).is_ref and L(k).pos == "NOUN" \
+                        and np_run_end[target] == target:
+                    # "Union or Member State law": a bare proper-noun
+                    # coordinated with the modifier chain of a common-noun
+                    # head is itself a modifier, not a conjunct NP
+                    L(target).dep, L(target).head_i = "compound", base + k
+                    if L(cconj).dep == "dep":
+                        L(cconj).dep = "cc"
+                        L(cconj).head_i = base + k
+                elif target is not None and \
                         (not followed_by_verb or cconj is not None):
                     t.dep, t.head_i = "conj", base + target
                     if cconj is not None and L(cconj).dep == "dep":
@@ -429,17 +492,28 @@ def _parse_sentence(toks: List[Tok]) -> None:
             prev_head = k
             pending = None
         elif t.pos == "CCONJ":
-            pending = ("local", k)
+            # "technical and organisational security measures": the CCONJ
+            # coordinates attributive adjectives, not NPs
+            if k + 1 < n and L(k + 1).pos == "ADJ" \
+                    and np_head_of[k + 1] != k + 1 \
+                    and k >= 1 and L(k - 1).pos == "ADJ":
+                pending = None
+            else:
+                pending = ("local", k)
         elif t.text == ",":
-            if pending is None or pending[1] is None:
+            if pending is None:
                 pending = ("local", None)
-        elif t.text in (";", ":"):
+        elif t.text == ":":
+            enum_anchor = prev_head
             pending = ("anchor", None)
+        elif t.text == ";":
+            pending = ("enum", None) if enum_anchor is not None \
+                else ("anchor", None)
         elif t.tag == "LS" or t.text in ("(", ")"):
             pass  # enumeration marker: keep pending state
         elif t.pos == "ADP" and pending is not None and pending[1] is not None:
             pass  # coordinated PPs: "of the controller or of the processor"
-        elif pending is not None and pending[1] is not None and (
+        elif pending is not None and (
                 t.pos in ("ADV",)
                 or (t.pos == "SCONJ" and k + 1 < n
                     and L(k + 1).pos in ("ADJ", "ADV"))
@@ -493,16 +567,74 @@ def _parse_sentence(toks: List[Tok]) -> None:
         return
 
     # ---- 4. acl / relcl classification ----
+    def _is_list_boundary(lo: int, hi: int) -> bool:
+        """True if a ';'/':'/list-marker separates positions lo < hi."""
+        for m in range(lo + 1, hi):
+            if L(m).text in (";", ":") or L(m).tag == "LS":
+                return True
+        return False
+
+    def _climb_nominal(idx: int) -> int:
+        """Head of the nominal chain containing idx: '... a record of all
+        categories of processing activities carried out on behalf of a
+        controller, containing' — the participle after the comma modifies
+        'record', the top of the pobj/prep/acl chain, like spaCy's
+        long-distance acl attachment.  conj hops stop at list boundaries
+        so enumeration items keep their own head."""
+        cur = idx
+        for _ in range(n):
+            t = L(cur)
+            if t.dep == "conj":
+                h = t.head_i - base
+                if 0 <= h < n and not _is_list_boundary(
+                        min(h, cur), max(h, cur)):
+                    cur = h
+                    continue
+                break
+            if t.dep == "pobj":
+                prep = t.head_i - base
+                if 0 <= prep < n:
+                    h = L(prep).head_i - base
+                    if 0 <= h < n and h != prep:
+                        ht = L(h)
+                        if ht.pos in ("NOUN", "PROPN"):
+                            cur = h
+                            continue
+                        if ht.pos == "VERB" and ht.dep == "acl":
+                            hh = ht.head_i - base
+                            if 0 <= hh < n and \
+                                    L(hh).pos in ("NOUN", "PROPN"):
+                                cur = hh
+                                continue
+            break
+        return cur
+
     for g in groups:
         main, auxes = g["main"], g["auxes"]
         if not auxes and L(main).tag in ("VBN", "VBG"):
             j = main - 1
-            while j >= 0 and L(j).pos == "ADV":
+            while j >= 0 and (L(j).pos == "ADV"
+                              or L(j).text.lower() == "as"):
                 j -= 1
             if j >= 0 and np_head_of[j] is not None:
                 g["kind"] = "acl"
                 L(main).dep = "acl"
-                L(main).head_i = base + np_head_of[j]
+                head = np_head_of[j]
+                if j < main - 1:
+                    # "categories of data as referred to": climb out of
+                    # the pobj chain to the head the clause modifies
+                    g["climb_from"] = head
+                L(main).head_i = base + head
+                continue
+            # participial clause set off by a comma attaches to the head
+            # of the preceding nominal chain ("a record of ..., containing");
+            # the chain head is refined after step 5 assigns pobj/prep deps
+            if j >= 0 and L(j).text == "," and j >= 1 \
+                    and np_head_of[j - 1] is not None:
+                g["kind"] = "acl"
+                g["climb_from"] = np_head_of[j - 1]
+                L(main).dep = "acl"
+                L(main).head_i = base + np_head_of[j - 1]
                 continue
         # "..., who has ..." / "which shall ..." / "to whom the data have ..."
         j = g["start"] - 1
@@ -510,10 +642,12 @@ def _parse_sentence(toks: List[Tok]) -> None:
             j -= 1
         # the relative pronoun may sit before the clause's subject NP
         skipped_subject = False
+        skipped_was_pron = False
         if j >= 0 and np_head_of[j] is not None \
                 and not (L(j).pos == "PRON"
                          and L(j).text.lower() in _WH_PRON):
             run_head = np_head_of[j]
+            skipped_was_pron = L(run_head).pos == "PRON"
             while j >= 0 and np_head_of[j] == run_head:
                 j -= 1
             while j >= 0 and L(j).pos in ("ADV", "PUNCT"):
@@ -536,6 +670,12 @@ def _parse_sentence(toks: List[Tok]) -> None:
                     # subject and the pronoun stays a dangling oblique
                     L(wh).dep = "nsubjpass" if g["passive"] else "nsubj"
                     L(wh).head_i = base + main
+        elif skipped_was_pron and j >= 0 and np_head_of[j] is not None:
+            # zero-relativizer relative clause: "the processing it carries
+            # out" — NP + personal-pronoun subject + finite verb
+            g["kind"] = "relcl"
+            L(main).dep = "relcl"
+            L(main).head_i = base + np_head_of[j]
 
     unclassified = [g for g in groups if g["kind"] is None]
     root_main = unclassified[0]["main"] if unclassified else groups[0]["main"]
@@ -603,7 +743,20 @@ def _parse_sentence(toks: List[Tok]) -> None:
                         linked = True
                 elif t.pos == "CCONJ":
                     marker_j = j
-                    if prev_unclassified is not None:
+                    # "have been or will be disclosed": a coordinated verb
+                    # directly after an acl/relcl group (no NP between)
+                    # conjoins with that group, not with the main clause
+                    prev_g = next((h for h in reversed(groups[:gi])
+                                   if h["main"] < main), None)
+                    if prev_g is not None \
+                            and prev_g["kind"] in ("acl", "relcl") \
+                            and not any(np_head_of[m] == m for m in
+                                        range(prev_g["main"] + 1, start)):
+                        t.dep, t.head_i = "cc", base + prev_g["main"]
+                        L(main).dep = "conj"
+                        L(main).head_i = base + prev_g["main"]
+                        linked = True
+                    elif prev_unclassified is not None:
                         t.dep, t.head_i = "cc", base + prev_unclassified
                         L(main).dep = "conj"
                         L(main).head_i = base + prev_unclassified
@@ -657,6 +810,12 @@ def _parse_sentence(toks: List[Tok]) -> None:
                     t.dep, t.head_i = "mark", base + main
                 k += 1
                 continue
+            if t.pos == "SCONJ" and k + 1 < end \
+                    and L(k + 1).pos in ("ADJ", "ADV") \
+                    and (k + 2 >= end or L(k + 2).pos == "PUNCT"):
+                # parenthetical "where applicable," — not a clause start
+                k += 2
+                continue
             if t.pos == "SCONJ" or (t.pos == "CCONJ" and t.dep == "dep") \
                     or (t.pos == "PRON" and t.text.lower() in _WH_PRON):
                 break
@@ -694,6 +853,29 @@ def _parse_sentence(toks: List[Tok]) -> None:
                     last_nominal = j
             k += 1
 
+    # refine comma-acl attachment now that pobj/prep chains exist
+    for g in groups:
+        if g.get("climb_from") is not None:
+            L(g["main"]).head_i = base + _climb_nominal(g["climb_from"])
+
+    # parenthetical "where applicable/possible," acts as the conditional
+    # marker of the item's participial clause: attach the SCONJ as mark to
+    # the next VBN/VBG group (matching spaCy's observed attachment on the
+    # reference corpus)
+    for k in range(n):
+        t = L(k)
+        if t.pos == "SCONJ" and t.dep == "dep" and k + 2 < n \
+                and L(k + 1).pos in ("ADJ", "ADV") \
+                and L(k + 2).pos == "PUNCT":
+            host = next((g["main"] for g in groups
+                         if g["main"] > k and L(g["main"]).tag
+                         in ("VBN", "VBG")), None)
+            if host is None:
+                host = next((g["main"] for g in groups if g["main"] > k),
+                            None)
+            if host is not None:
+                t.dep, t.head_i = "mark", base + host
+
     # leftovers dangle from the root
     for t in toks:
         if t.dep == "dep" and t.i != base + root_main:
@@ -722,9 +904,28 @@ def resolve_coref(doc: List[Tok]) -> None:
                     if match is None:
                         match = cand
             if match is not None:
-                t.coref = [match.i]
+                # a coordinated antecedent resolves to the whole
+                # coordination ("an enterprise or an organisation ... it")
+                chain = [match]
+                root = match
+                while root.dep == "conj" and root.head is not None \
+                        and root.head.pos in ("NOUN", "PROPN") \
+                        and root.head is not root:
+                    root = root.head
+                if root is not match:
+                    chain = [root]
+                stack = [root]
+                while stack:
+                    cur = stack.pop()
+                    for c in cur.rights:
+                        if c.dep == "conj" and c.pos in ("NOUN", "PROPN") \
+                                and c not in chain:
+                            chain.append(c)
+                            stack.append(c)
+                t.coref = sorted({c.i for c in chain})
         elif t.pos in ("NOUN", "PROPN") and not t.is_ref \
-                and t.dep in ("nsubj", "nsubjpass", "dobj", "attr", "pobj"):
+                and t.dep in ("nsubj", "nsubjpass", "dobj", "attr", "pobj",
+                              "conj"):
             seen.append((t, t.dep in ("nsubj", "nsubjpass")))
 
 

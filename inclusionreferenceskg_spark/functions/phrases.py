@@ -191,7 +191,7 @@ class PhraseExtractor:
 
             self._switch_dependants_on_passive(phrase)
             self._resolve_relative_clauses(
-                itertools.chain(phrase.agent_objects, phrase.patient_objects))
+                (phrase.agent_objects, phrase.patient_objects))
             phrase.patient_phrases, phrase.condition_phrases = \
                 self._split_conditionals(phrase.patient_phrases)
             self._resolve_anaphora(phrase)
@@ -249,11 +249,24 @@ class PhraseExtractor:
             phrase.patient_phrases, phrase.agent_phrases = \
                 phrase.agent_phrases, phrase.patient_phrases
 
-    def _resolve_relative_clauses(self,
-                                  objs: Iterable[PhraseObject]) -> None:
-        for po in objs:
-            if po.token.head.dep == "relcl" and po.token.pos == "PRON":
-                po.token = po.token.head.head
+    def _resolve_relative_clauses(self, objs) -> None:
+        """Relative pronouns are replaced by their clause head
+        (phrase_extractor.py:125-131).  When the pronoun also has a coref
+        chain ("the processing it carries out": it -> enterprise,
+        organisation) the antecedents are kept as additional objects —
+        coreferee resolves before the rewrite discards the pronoun."""
+        for objs_list in objs:
+            new = []
+            for po in objs_list:
+                if po.token.head.dep == "relcl" and po.token.pos == "PRON":
+                    orig = po.token
+                    po.token = po.token.head.head
+                    if orig.coref:
+                        doc = orig.sent.doc
+                        for extra in orig.coref:
+                            new.append(PhraseObject(doc[extra],
+                                                    self._next_id("po")))
+            objs_list.extend(new)
 
     def _split_conditionals(self, phrases: Iterable[Phrase]):
         conditionals, patients = [], []

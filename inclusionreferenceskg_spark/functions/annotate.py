@@ -452,6 +452,7 @@ def _parse_sentence(toks: List[Tok]) -> None:
     # bound them).
     anchor = None
     prev_head = None
+    enum_waiting = False
     enum_anchor = None  # NP before a ':' — survives verb resets so that
     # "; (f) ..." items keep conj-linking into the colon enumeration even
     # after an embedded relative clause introduced a verb
@@ -489,6 +490,11 @@ def _parse_sentence(toks: List[Tok]) -> None:
                         L(cconj).head_i = base + target
             if anchor is None:
                 anchor = k
+            if enum_waiting:
+                # "containing: (a) the name ..." — the first NP after the
+                # colon anchors the enumeration
+                enum_anchor = k
+                enum_waiting = False
             prev_head = k
             pending = None
         elif t.pos == "CCONJ":
@@ -505,6 +511,7 @@ def _parse_sentence(toks: List[Tok]) -> None:
                 pending = ("local", None)
         elif t.text == ":":
             enum_anchor = prev_head
+            enum_waiting = prev_head is None
             pending = ("anchor", None)
         elif t.text == ";":
             pending = ("enum", None) if enum_anchor is not None \
@@ -538,6 +545,10 @@ def _parse_sentence(toks: List[Tok]) -> None:
             auxes.append(k)
             k += 1
             while k < n and L(k).pos in ("ADV", "PART"):
+                if L(k).pos == "ADV" and k + 1 < n and L(k + 1).tag == "TO":
+                    # "is likely to result": the adjective/adverb breaks
+                    # the aux chain — 'result' starts its own xcomp clause
+                    break
                 k += 1
         if k < n and L(k).pos == "VERB" and np_head_of[k] is None:
             main = k
@@ -710,8 +721,10 @@ def _parse_sentence(toks: List[Tok]) -> None:
         main, auxes, passive = g["main"], g["auxes"], g["passive"]
         start = g["start"]
         prev_unclassified = max(
-            (h["main"] for h in groups[:gi] if h["kind"] in ("root", None)
-             or h["kind"] not in ("acl", "relcl")),
+            (h["main"] for h in groups[:gi]
+             if (h["kind"] in ("root", None)
+                 or h["kind"] not in ("acl", "relcl"))
+             and L(h["main"]).dep != "xcomp"),
             default=None)
         prev_any = max((m for m in mains if m < main), default=None)
 
@@ -728,6 +741,30 @@ def _parse_sentence(toks: List[Tok]) -> None:
                 while j - 1 >= 0 and np_head_of[j - 1] == cand_subj[-1]:
                     j -= 1
                 j -= 1
+            else:
+                # "unless the processing it carries out is likely": the
+                # subject of this clause sits BEFORE the embedded relative
+                # clause — skip back over the relcl and its host NP run,
+                # but only when a subordinator is found there (otherwise
+                # e.g. "have been or will be disclosed" keeps its local
+                # coordination)
+                prev_g = next((h for h in reversed(groups[:gi])
+                               if h["main"] < main), None)
+                if prev_g is not None and prev_g["kind"] == "relcl" \
+                        and prev_g["start"] <= j + 1:
+                    host = L(prev_g["main"]).head_i - base
+                    if 0 <= host < n and np_head_of[host] is not None:
+                        j2 = host
+                        while j2 - 1 >= 0 \
+                                and np_head_of[j2 - 1] == np_head_of[host]:
+                            j2 -= 1
+                        j2 -= 1
+                        lo2 = j2
+                        while j2 >= 0 and L(j2).pos in ("ADV", "PUNCT"):
+                            j2 -= 1
+                        if j2 >= 0 and L(j2).pos == "SCONJ":
+                            j = j2
+                            g["subject_lo"] = lo2
             while j >= 0 and L(j).pos in ("ADV", "PUNCT"):
                 j -= 1
             linked = False
@@ -784,6 +821,8 @@ def _parse_sentence(toks: List[Tok]) -> None:
                 if c.head_i == base + main):
             if g["kind"] == "root":
                 lo = -1
+            elif g.get("subject_lo") is not None:
+                lo = g["subject_lo"]
             else:
                 lo = prev_any if prev_any is not None else -1
                 if marker_j is not None:
@@ -819,6 +858,24 @@ def _parse_sentence(toks: List[Tok]) -> None:
             if t.pos == "SCONJ" or (t.pos == "CCONJ" and t.dep == "dep") \
                     or (t.pos == "PRON" and t.text.lower() in _WH_PRON):
                 break
+            if t.text == "," and k + 1 < end:
+                # ", the processing is ..." — the NP after this comma is
+                # the NEXT clause's subject, not more objects of this one
+                jj = k + 1
+                if np_head_of[jj] is not None:
+                    run = np_head_of[jj]
+                    jj = np_run_end[run] + 1 if np_run_end[run] is not None \
+                        else jj + 1
+                    if jj < n and L(jj).pos in ("VERB", "AUX"):
+                        break
+            if t.pos == "ADJ" and t.dep == "dep" and (
+                    k == main + 1
+                    or (k == main + 2 and L(k - 1).dep == "neg")):
+                # predicate adjective: "is likely", "is not occasional"
+                t.dep, t.head_i = "acomp", base + main
+            elif t.pos == "ADV" and t.dep == "dep" and k == main + 1 \
+                    and L(main).lemma == "be":
+                t.dep, t.head_i = "advmod", base + main
             if np_head_of[k] == k and t.dep == "dep":
                 t.dep = "attr" if L(main).lemma == "be" else "dobj"
                 t.head_i = base + main
@@ -858,21 +915,58 @@ def _parse_sentence(toks: List[Tok]) -> None:
         if g.get("climb_from") is not None:
             L(g["main"]).head_i = base + _climb_nominal(g["climb_from"])
 
-    # parenthetical "where applicable/possible," acts as the conditional
-    # marker of the item's participial clause: attach the SCONJ as mark to
-    # the next VBN/VBG group (matching spaCy's observed attachment on the
-    # reference corpus)
+    # comma-separated clause lists: "X is likely ..., Y is not occasional,
+    # or Z includes ..." — when a later clause conj-links to an advcl
+    # clause of the same head, the advcl is really the first conjunct
+    for g2 in groups:
+        m2 = g2["main"]
+        if L(m2).dep != "conj":
+            continue
+        h = L(m2).head_i - base
+        g1 = next((g for g in groups if g["main"] == h), None)
+        if g1 is not None and L(h).dep == "advcl" \
+                and any(L(m).text == "," for m in
+                        range(g1["start"] - 3, g1["start"]) if 0 <= m < n):
+            L(h).dep = "conj"
+
+    # an NP conjoined to a pobj inside a participial clause really
+    # coordinates with the clause's host nominal: "special categories of
+    # data as referred to in Article 9(1) or personal data relating ..."
     for k in range(n):
         t = L(k)
-        if t.pos == "SCONJ" and t.dep == "dep" and k + 2 < n \
-                and L(k + 1).pos in ("ADJ", "ADV") \
-                and L(k + 2).pos == "PUNCT":
+        if t.dep != "conj":
+            continue
+        h = t.head_i - base
+        if not (0 <= h < n) or L(h).dep != "pobj" or not L(h).is_ref:
+            continue
+        prep = L(h).head_i - base
+        if not (0 <= prep < n) or L(prep).dep not in ("prep", "agent"):
+            continue
+        v = L(prep).head_i - base
+        if not (0 <= v < n) or L(v).pos != "VERB" or L(v).dep != "acl":
+            continue
+        host = L(v).head_i - base
+        if 0 <= host < n and L(host).pos in ("NOUN", "PROPN"):
+            t.head_i = base + _climb_nominal(host)
+
+    # parenthetical "where applicable/possible," at an enumeration-item
+    # start acts as the conditional marker of the item's participial
+    # clause: attach the SCONJ as mark to the item's VBN group (matching
+    # spaCy's observed attachment on the reference corpus)
+    for k in range(n):
+        t = L(k)
+        if t.pos == "SCONJ" and t.dep == "dep" \
+                and t.text.lower() in ("where", "when", "if", "unless",
+                                       "while") \
+                and k + 2 < n and L(k + 1).pos in ("ADJ", "ADV") \
+                and L(k + 2).pos == "PUNCT" \
+                and k >= 1 and (L(k - 1).text in (")", ";", ":")
+                                or L(k - 1).tag == "LS"):
+            item_end = next((m for m in range(k + 1, n)
+                             if L(m).text == ";"), n)
             host = next((g["main"] for g in groups
-                         if g["main"] > k and L(g["main"]).tag
-                         in ("VBN", "VBG")), None)
-            if host is None:
-                host = next((g["main"] for g in groups if g["main"] > k),
-                            None)
+                         if k < g["main"] < item_end
+                         and L(g["main"]).tag == "VBN"), None)
             if host is not None:
                 t.dep, t.head_i = "mark", base + host
 
@@ -895,8 +989,16 @@ def resolve_coref(doc: List[Tok]) -> None:
         lw = t.text.lower()
         if t.pos == "PRON" and (lw in _SING_PRON or lw in _PLUR_PRON):
             want_plural = lw in _PLUR_PRON
+            # "the processing it carries out": the relative clause's own
+            # host noun is not an antecedent candidate for its subject
+            skip_i = None
+            if t.head is not None and t.head.dep == "relcl" \
+                    and t.head.head is not None:
+                skip_i = t.head.head.i
             match = None
             for cand, is_subj in reversed(seen):
+                if cand.i == skip_i:
+                    continue
                 if (cand.tag == "NNS") == want_plural:
                     if is_subj:
                         match = cand

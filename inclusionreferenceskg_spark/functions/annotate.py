@@ -635,6 +635,16 @@ def _parse_sentence(toks: List[Tok]) -> None:
                     # "categories of data as referred to": climb out of
                     # the pobj chain to the head the clause modifies
                     g["climb_from"] = head
+                elif L(main).tag == "VBN" and L(head).dep == "conj":
+                    # "convictions and offences referred to in Article 10":
+                    # a passive participle modifies the whole coordination
+                    while L(head).dep == "conj":
+                        h2 = L(head).head_i - base
+                        if not (0 <= h2 < n) or h2 == head \
+                                or _is_list_boundary(min(h2, head),
+                                                     max(h2, head)):
+                            break
+                        head = h2
                 L(main).head_i = base + head
                 continue
             # participial clause set off by a comma attaches to the head
@@ -913,7 +923,19 @@ def _parse_sentence(toks: List[Tok]) -> None:
     # refine comma-acl attachment now that pobj/prep chains exist
     for g in groups:
         if g.get("climb_from") is not None:
-            L(g["main"]).head_i = base + _climb_nominal(g["climb_from"])
+            top = _climb_nominal(g["climb_from"])
+            t = L(top)
+            if t.dep == "pobj":
+                prep = t.head_i - base
+                vh = L(prep).head_i - base if 0 <= prep < n else -1
+                if 0 <= vh < n and L(vh).pos in ("VERB", "AUX") \
+                        and L(vh).dep != "acl":
+                    # "shall be in writing, including in electronic form":
+                    # the participle modifies the clause, not the noun
+                    L(g["main"]).dep = "advcl"
+                    L(g["main"]).head_i = base + vh
+                    continue
+            L(g["main"]).head_i = base + top
 
     # comma-separated clause lists: "X is likely ..., Y is not occasional,
     # or Z includes ..." — when a later clause conj-links to an advcl
@@ -1000,7 +1022,10 @@ def resolve_coref(doc: List[Tok]) -> None:
                 if cand.i == skip_i:
                     continue
                 if (cand.tag == "NNS") == want_plural:
-                    if is_subj:
+                    # subjects are preferred antecedents, but only within
+                    # the pronoun's own sentence — a subject three
+                    # sentences back does not outrank a nearby object
+                    if is_subj and cand.sent is t.sent:
                         match = cand
                         break
                     if match is None:

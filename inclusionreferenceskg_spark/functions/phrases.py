@@ -141,7 +141,11 @@ def get_nominal_subjects_of_verbs(predicates: List[Predicate]) -> List[Tok]:
         subjs.extend(t for t in pred.token.lefts if t.dep in NOMINAL_SUBJ_DEPS)
         _closure_extend(subjs, get_conjuncts)
         if is_acl_without_subj(pred.token):
+            # borrowed acl head (util.py:143-145); deliberate extension vs
+            # the reference: a participle on a coordination root covers the
+            # whole coordination ("convictions and offences referred to")
             subjs.append(pred.token.head)
+            subjs.extend(get_conjuncts(pred.token.head))
     return subjs
 
 

@@ -453,6 +453,7 @@ def _parse_sentence(toks: List[Tok]) -> None:
     anchor = None
     prev_head = None
     enum_waiting = False
+    deferred = None  # coordination suspended across a parenthetical PP
     enum_anchor = None  # NP before a ':' — survives verb resets so that
     # "; (f) ..." items keep conj-linking into the colon enumeration even
     # after an embedded relative clause introduced a verb
@@ -463,6 +464,10 @@ def _parse_sentence(toks: List[Tok]) -> None:
             anchor = None
             prev_head = None
             pending = None
+            if t.tag not in ("VBN", "VBG"):
+                # participles don't close a suspended coordination
+                # ("and, in the case of transfers referred to in X, the Y")
+                deferred = None
         elif np_head_of[k] == k:
             nxt = np_run_end[k] + 1
             followed_by_verb = nxt < n and L(nxt).pos in ("VERB", "AUX")
@@ -507,7 +512,17 @@ def _parse_sentence(toks: List[Tok]) -> None:
             else:
                 pending = ("local", k)
         elif t.text == ",":
-            if pending is None:
+            if pending is not None and pending[1] is not None \
+                    and k + 1 < n and L(k + 1).pos == "ADP":
+                # "and, in the case of X, the Y": the coordination is
+                # suspended across the parenthetical PP and resumes at
+                # the NP after its closing comma
+                deferred = pending
+                pending = None
+            elif deferred is not None:
+                pending = deferred
+                deferred = None
+            elif pending is None:
                 pending = ("local", None)
         elif t.text == ":":
             enum_anchor = prev_head
@@ -638,6 +653,7 @@ def _parse_sentence(toks: List[Tok]) -> None:
                 elif L(main).tag == "VBN" and L(head).dep == "conj":
                     # "convictions and offences referred to in Article 10":
                     # a passive participle modifies the whole coordination
+                    climbed = False
                     while L(head).dep == "conj":
                         h2 = L(head).head_i - base
                         if not (0 <= h2 < n) or h2 == head \
@@ -645,6 +661,8 @@ def _parse_sentence(toks: List[Tok]) -> None:
                                                      max(h2, head)):
                             break
                         head = h2
+                        climbed = True
+                    L(main).acl_coord = climbed
                 L(main).head_i = base + head
                 continue
             # participial clause set off by a comma attaches to the head

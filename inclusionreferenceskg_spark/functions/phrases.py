@@ -142,10 +142,12 @@ def get_nominal_subjects_of_verbs(predicates: List[Predicate]) -> List[Tok]:
         _closure_extend(subjs, get_conjuncts)
         if is_acl_without_subj(pred.token):
             # borrowed acl head (util.py:143-145); deliberate extension vs
-            # the reference: a participle on a coordination root covers the
-            # whole coordination ("convictions and offences referred to")
+            # the reference: a participle attached to a coordination root
+            # covers the whole coordination ("convictions and offences
+            # referred to") — flagged by the parser, not inferred here
             subjs.append(pred.token.head)
-            subjs.extend(get_conjuncts(pred.token.head))
+            if getattr(pred.token, "acl_coord", False):
+                subjs.extend(get_conjuncts(pred.token.head))
     return subjs
 
 
@@ -185,10 +187,25 @@ class PhraseExtractor:
                 for t in get_objects_of_verbs(
                     [p.token for p in phrase.predicate])]
 
-            object_children = [
-                c for obj in itertools.chain(phrase.agent_objects,
-                                             phrase.patient_objects)
-                for c in obj.token.children]
+            object_children = []
+            for obj in itertools.chain(phrase.agent_objects,
+                                       phrase.patient_objects):
+                # children of each object (phrase_extractor.py:54-56),
+                # deepened through the object's own prep/pobj chains so a
+                # participial clause on a nested nominal ("in the case of
+                # transfers referred to in X") still links to this phrase
+                stack = [obj.token]
+                seen_n = set()
+                while stack:
+                    tok = stack.pop()
+                    if tok.i in seen_n:
+                        continue
+                    seen_n.add(tok.i)
+                    for c in tok.children:
+                        object_children.append(c)
+                        if c.dep == "prep":
+                            stack.extend(pc for pc in c.children
+                                         if pc.dep == "pobj")
 
             phrase.patient_phrases, phrase.agent_phrases = self._link_phrases(
                 deletion_marks, object_children, phrase, phrases)

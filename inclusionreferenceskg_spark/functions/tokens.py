@@ -17,7 +17,8 @@ from typing import Dict, Iterable, List, Optional, Sequence
 
 class Tok:
     __slots__ = ("i", "text", "lemma", "pos", "tag", "dep", "head_i", "sent",
-                 "is_ref", "ref_targets", "coref", "idx", "_children")
+                 "is_ref", "ref_targets", "coref", "idx", "_children",
+                 "acl_coord")
 
     def __init__(self, i: int, text: str, lemma: str = None, pos: str = "X",
                  tag: str = "", dep: str = "dep", head_i: int = None,
@@ -39,6 +40,7 @@ class Tok:
         self.coref = coref
         self.idx = idx           # char offset in the document text
         self._children = None    # filled by index_children for O(1) access
+        self.acl_coord = False   # acl attached to a coordination root
 
     @property
     def head(self) -> "Tok":

@@ -30,7 +30,9 @@ def test_kg_triples_floor():
     tp, fp, fn = tp1 + tp2, fp1 + fp2, fn1 + fn2
     precision = tp / (tp + fp)
     recall = tp / (tp + fn)
-    # measured r1: P=0.453 R=0.534 (annotator quality gap vs spaCy; note the
-    # golden CSV is hand-authored — the reference itself does not score 1.0)
-    assert precision >= 0.43, (precision, recall)
-    assert recall >= 0.50, (precision, recall)
+    # measured r1: P=0.602 R=0.849 F1=0.705 (the golden CSV is hand-authored
+    # — the reference itself does not score 1.0 on it: most residual FPs are
+    # rows the reference's own pred-x-object product emits but the CSV
+    # omits, and several FNs are display strings absent from the text)
+    assert precision >= 0.58, (precision, recall)
+    assert recall >= 0.82, (precision, recall)

@@ -78,42 +78,67 @@ def extract_graph(nodes: DataFrame, resolved: DataFrame,
     src = (nodes.select("url", "node_id", "seq", "content", "para_key")
            .join(targets, ["url", "node_id"], "left"))
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+    # mapInPandas over url-partitioned, (url, seq)-sorted batches instead
+    # of groupBy().applyInPandas: one Arrow stream per PARTITION rather
+    # than one pandas round-trip per PAGE (tens of thousands of tiny
+    # groups), with documents carried over across batch boundaries.  Same
+    # per-document semantics; far less per-group overhead.
+    spark = nodes.sparkSession
+    npart = max(spark.sparkContext.defaultParallelism * 2, 8)
+    src = src.repartition(npart, "url").sortWithinPartitions("url", "seq")
+
+    def run_iter(batches):
+        blank = dict.fromkeys(_COLS)
         out = []
-        pdf = pdf.sort_values("seq")
-        url = pdf["url"].iloc[0]
+        cur_url = None
         node_rows = []
         mentions_by_node = {}
-        for node_id, content, para_key, tgt in zip(
-                pdf["node_id"], pdf["content"], pdf["para_key"],
-                pdf["mention_targets"]):
-            node_rows.append({"node_id": node_id, "content": content,
-                              "para_key": para_key})
-            mentions = detect(content or "")
-            if not mentions:
-                continue
-            tmap = {}
-            if tgt is not None and len(tgt):
-                for t in sorted(tgt, key=lambda x: (x["mention_idx"],
-                                                    x["qual_idx"])):
-                    tmap.setdefault((t["start"], t["text"]), []).append(
-                        {"node_id": t["target_node_id"],
-                         "url": t["target_url"]})
-            for m in mentions:
-                m["targets"] = tmap.get((m["start"], m["text"]), [])
-            mentions_by_node[node_id] = mentions
-        rows = render_document(url, node_rows, mentions_by_node,
-                               include_extensions)
-        blank = dict.fromkeys(_COLS)
-        for r in rows["kg_nodes"]:
-            out.append({**blank, "row_kind": "node", **r})
-        for r in rows["kg_edges"]:
-            out.append({**blank, "row_kind": "edge", **r})
-        for r in rows["l3"]:
-            out.append({**blank, "row_kind": "l3", **r})
-        return pd.DataFrame(out, columns=_COLS, dtype=object)
 
-    return src.groupBy("url").applyInPandas(run, GRAPH_ROWS)
+        def flush():
+            nonlocal node_rows, mentions_by_node
+            if cur_url is None or not node_rows:
+                return
+            rows = render_document(cur_url, node_rows, mentions_by_node,
+                                   include_extensions)
+            for r in rows["kg_nodes"]:
+                out.append({**blank, "row_kind": "node", **r})
+            for r in rows["kg_edges"]:
+                out.append({**blank, "row_kind": "edge", **r})
+            for r in rows["l3"]:
+                out.append({**blank, "row_kind": "l3", **r})
+            node_rows = []
+            mentions_by_node = {}
+
+        for pdf in batches:
+            for url, node_id, content, para_key, tgt in zip(
+                    pdf["url"], pdf["node_id"], pdf["content"],
+                    pdf["para_key"], pdf["mention_targets"]):
+                if url != cur_url:
+                    flush()
+                    cur_url = url
+                node_rows.append({"node_id": node_id, "content": content,
+                                  "para_key": para_key})
+                mentions = detect(content or "")
+                if not mentions:
+                    continue
+                tmap = {}
+                if tgt is not None and len(tgt):
+                    for t in sorted(tgt, key=lambda x: (x["mention_idx"],
+                                                        x["qual_idx"])):
+                        tmap.setdefault((t["start"], t["text"]), []).append(
+                            {"node_id": t["target_node_id"],
+                             "url": t["target_url"]})
+                for m in mentions:
+                    m["targets"] = tmap.get((m["start"], m["text"]), [])
+                mentions_by_node[node_id] = mentions
+            if len(out) >= 20000:
+                yield pd.DataFrame(out, columns=_COLS, dtype=object)
+                out = []
+        flush()
+        if out:
+            yield pd.DataFrame(out, columns=_COLS, dtype=object)
+
+    return src.mapInPandas(run_iter, GRAPH_ROWS)
 
 
 def graph_nodes(wide: DataFrame) -> DataFrame:

@@ -125,21 +125,19 @@ def resolve_targets(qualifiers: DataFrame, nodes: DataFrame) -> DataFrame:
 
     quals = same_corpus.unionByName(cross_with_url)
 
-    doc_level = quals.filter(F.col("deep_type") == "Document").join(
+    # one equi-join on (url, node type) for both the Document level and
+    # inner levels — the number condition (exact or wildcard -1; vacuous
+    # for Document patterns) is a post-join filter, so the mentions table
+    # is shuffled once instead of once per branch
+    joined = quals.join(
         cand,
         (F.col("join_url") == cand["target_url"])
-        & (cand["cand_type"] == F.lit("Document")),
+        & (F.col("deep_type") == cand["cand_type"]),
         "inner",
-    )
-    inner_level = quals.filter(F.col("deep_type") != "Document").join(
-        cand,
-        (F.col("join_url") == cand["target_url"])
-        & (F.col("deep_type") == cand["cand_type"])
-        & ((F.col("deep_number") == cand["cand_number"])
-           | (F.col("deep_number") == F.lit(-1))),
-        "inner",
-    )
-    joined = doc_level.unionByName(inner_level)
+    ).filter(
+        (F.col("deep_type") == F.lit("Document"))
+        | (F.col("deep_number") == cand["cand_number"])
+        | (F.col("deep_number") == F.lit(-1)))
 
     confirmed = joined.filter(_path_confirm())
 

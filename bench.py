@@ -71,6 +71,10 @@ def main() -> None:
     from inclusionreferenceskg_spark.plans.pipeline import run_pipeline
 
     n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "5000"))
+    # warm-up: spawn/initialize the Python UDF workers (module imports,
+    # compiled grammars) so the timed run measures steady-state throughput
+    warm = synth.synthesize_pages(spark, 64, partitions=max(CPUS, 8))
+    run_pipeline(warm).triples.count()
     pages = synth.synthesize_pages(spark, n_docs,
                                    partitions=max(CPUS * 2, 16))
     t0 = time.perf_counter()

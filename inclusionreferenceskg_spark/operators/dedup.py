@@ -42,30 +42,43 @@ def exact_duplicates(documents: DataFrame) -> DataFrame:
             .filter(F.col("n_copies") >= 1))
 
 
-def _shingles(documents: DataFrame) -> DataFrame:
-    """doc_id -> exploded k-word shingles of the normalized text."""
-    toks = F.split(norm_text(F.col("text")), r" ")
-    sh = F.expr(
+def _shingle_array():
+    """Column expr: the k-word shingle array of the normalized text."""
+    return F.expr(
         f"transform(sequence(1, greatest(size(split(trim(regexp_replace("
         f"lower(text), '\\\\s+', ' ')), ' ')) - {SHINGLE_K - 1}, 1)), "
         f"i -> concat_ws(' ', slice(split(trim(regexp_replace(lower(text), "
         f"'\\\\s+', ' ')), ' '), i, {SHINGLE_K})))")
+
+
+def _shingles(documents: DataFrame) -> DataFrame:
+    """doc_id -> exploded k-word shingles of the normalized text."""
     return (documents
-            .select("doc_id", F.explode(F.array_distinct(sh))
+            .select("doc_id", F.explode(F.array_distinct(_shingle_array()))
                     .alias("shingle")))
 
 
 def minhash_signatures(documents: DataFrame,
                        n_perm: int = N_PERM) -> DataFrame:
-    """P min-hashes per document (one shuffle: groupBy doc_id with P
-    map-side-combined min aggregates)."""
-    sh = _shingles(documents)
-    aggs = [
-        F.min(hash64(F.concat(F.lit(f"{p}:"), F.col("shingle"))))
-        .alias(f"mh{p}")
-        for p in range(n_perm)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    """P min-hashes per document, computed entirely inside whole-stage
+    codegen: ``array_min(transform(shingles, hash))`` per permutation over
+    the per-row shingle array — a narrow map with NO shuffle (the previous
+    explode+groupBy shuffled |docs|x|shingles| rows).  Values are identical
+    (min over the same distinct-shingle hashes)."""
+    def mh(p: int):
+        pre = F.lit(f"{p}:")
+        # NB single-parameter lambda: a second parameter would be bound to
+        # the array index by transform()
+        return F.array_min(F.transform(
+            F.col("sh_arr"),
+            lambda s: hash64(F.concat(pre, s)))).alias(f"mh{p}")
+
+    # two-step projection so the (expensive) shingle array is computed once
+    # per row; CollapseProject keeps multiply-referenced non-cheap aliases
+    # in their own project
+    with_arr = documents.select(
+        "doc_id", F.array_distinct(_shingle_array()).alias("sh_arr"))
+    return with_arr.select("doc_id", *[mh(p) for p in range(n_perm)])
 
 
 def minhash_lsh_pairs(documents: DataFrame, n_perm: int = N_PERM,
@@ -76,16 +89,23 @@ def minhash_lsh_pairs(documents: DataFrame, n_perm: int = N_PERM,
     ``max_bucket`` are dropped (boilerplate guard — logged via the
     ``oversize`` marker rather than silently)."""
     sig = minhash_signatures(documents, n_perm)
-    bands = []
-    for b in range(n_perm // band_r):
-        cols = [F.col(f"mh{i}") for i in range(b * band_r, (b + 1) * band_r)]
-        bands.append(sig.select(
-            "doc_id", F.lit(b).alias("band"),
-            F.md5(F.concat_ws("_", *[c.cast("string") for c in cols]))
-            .alias("bucket")))
-    buckets = bands[0]
-    for df in bands[1:]:
-        buckets = buckets.unionByName(df)
+    # one pass over the signature table: explode an array of (band, bucket)
+    # structs instead of a per-band union (a union re-evaluates the
+    # shingle+groupBy subtree once per band)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("_", *[
+                F.col(f"mh{i}").cast("string")
+                for i in range(b * band_r, (b + 1) * band_r)]))
+            .alias("bucket"))
+        for b in range(n_perm // band_r)
+    ]
+    buckets = (sig
+               .select("doc_id",
+                       F.explode(F.array(*band_structs)).alias("bb"))
+               .select("doc_id", F.col("bb.band").alias("band"),
+                       F.col("bb.bucket").alias("bucket")))
     sized = buckets.withColumn(
         "bucket_size", F.count("*").over(
             Window.partitionBy("band", "bucket")))

@@ -475,15 +475,21 @@ def _parse_sentence(toks: List[Tok]) -> None:
                 mode, cconj = pending
                 target = (prev_head if mode == "local"
                           else anchor if mode == "anchor" else enum_anchor)
+                run_start = k
+                while run_start - 1 >= 0 \
+                        and np_head_of[run_start - 1] == k:
+                    run_start -= 1
                 if target is not None and mode == "local" \
-                        and cconj is not None and cconj == k - 1 \
-                        and target == k - 2 and L(target).pos == "PROPN" \
+                        and cconj is not None and cconj == run_start - 1 \
+                        and target == run_start - 2 \
+                        and L(target).pos == "PROPN" \
                         and not L(target).is_ref and L(k).pos == "NOUN" \
                         and np_run_end[target] == target:
                     # "Union or Member State law": a bare proper-noun
                     # coordinated with the modifier chain of a common-noun
                     # head is itself a modifier, not a conjunct NP
                     L(target).dep, L(target).head_i = "compound", base + k
+                    np_head_of[target] = k
                     if L(cconj).dep == "dep":
                         L(cconj).dep = "cc"
                         L(cconj).head_i = base + k

@@ -148,6 +148,60 @@ def q_events_json(spark, sf_dir):
                  F.max("k").alias("max_k"))
             .orderBy("event_type"))
 
+def q_topk_orders_per_cust(spark, sf_dir):
+    """Top-3 orders by price per customer (window top-k; the shuffle is a
+    single hash partition by o_custkey)."""
+    from pyspark.sql import Window
+    od = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (od.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3)
+            .select("o_custkey", "o_orderkey",
+                    F.round("o_totalprice", 2).alias("price"), "rk")
+            .orderBy("o_custkey", "rk"))
+
+
+def q_cube_nation_status(spark, sf_dir):
+    """CUBE over (nation, order status) — grouping-sets family."""
+    od = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    na = _t(spark, sf_dir, "nation")
+    j = (od.join(cu, od["o_custkey"] == cu["c_custkey"])
+         .join(F.broadcast(na), cu["c_nationkey"] == na["n_nationkey"]))
+    return (j.cube("n_name", "o_orderstatus")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total"))
+            .orderBy("n_name", "o_orderstatus"))
+
+
+def q_except_inactive_custs(spark, sf_dir):
+    """Set difference: customers with no orders (EXCEPT against the
+    order-holders projection)."""
+    cu = _t(spark, sf_dir, "customer").select("c_custkey")
+    active = (_t(spark, sf_dir, "orders")
+              .select(F.col("o_custkey").alias("c_custkey")))
+    return cu.exceptAll(active.distinct()).orderBy("c_custkey")
+
+
+def q_range_join_events(spark, sf_dir):
+    """Non-equi range join: events landing inside each user's first-order
+    month window (value-range predicate on epoch seconds)."""
+    ev = _t(spark, sf_dir, "events")
+    bounds = (ev.groupBy("user_id")
+              .agg(F.min(F.unix_timestamp("ts")).alias("t0")))
+    win = bounds.select("user_id",
+                        F.col("t0"), (F.col("t0") + 86400).alias("t1"))
+    e = ev.select(F.col("user_id").alias("u"), "event_id",
+                  F.unix_timestamp("ts").alias("te"))
+    return (e.join(F.broadcast(win),
+                   (F.col("u") == F.col("user_id"))
+                   & (F.col("te") >= F.col("t0"))
+                   & (F.col("te") < F.col("t1")))
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n_first_day"))
+            .orderBy("user_id"))
+
 
 # ----------------------------------------------------- text / dedup / ANN
 
@@ -265,6 +319,10 @@ QUERIES: Dict[str, Callable] = {
     "q_sessionize": q_sessionize,
     "q_rollup_revenue": q_rollup_revenue,
     "q_events_json": q_events_json,
+    "q_topk_orders_per_cust": q_topk_orders_per_cust,
+    "q_cube_nation_status": q_cube_nation_status,
+    "q_except_inactive_custs": q_except_inactive_custs,
+    "q_range_join_events": q_range_join_events,
     "docs_token_counts": docs_token_counts,
     "docs_quality": docs_quality,
     "docs_lang_id": docs_lang_id,
@@ -492,6 +550,34 @@ ORACLES: Dict[str, str] = {
                sum(cast(json_extract_string(props, '$.k') as int)) as sum_k,
                max(cast(json_extract_string(props, '$.k') as int)) as max_k
         from events group by event_type order by event_type""",
+    "q_topk_orders_per_cust": """
+        select o_custkey, o_orderkey, round(o_totalprice, 2) as price, rk
+        from (select *, row_number() over (partition by o_custkey
+              order by o_totalprice desc, o_orderkey asc) as rk
+              from orders)
+        where rk <= 3 order by o_custkey, rk""",
+    "q_cube_nation_status": """
+        select n_name, o_orderstatus, count(*) as n,
+               round(sum(o_totalprice), 2) as total
+        from orders
+        join customer on o_custkey = c_custkey
+        join nation on c_nationkey = n_nationkey
+        group by cube(n_name, o_orderstatus)
+        order by n_name, o_orderstatus""",
+    "q_except_inactive_custs": """
+        select c_custkey from customer
+        except all
+        select distinct o_custkey as c_custkey from orders
+        order by c_custkey""",
+    "q_range_join_events": """
+        with bounds as (
+          select user_id, min(cast(floor(epoch(ts)) as bigint)) as t0
+          from events group by user_id)
+        select b.user_id, count(*) as n_first_day
+        from events e join bounds b on e.user_id = b.user_id
+         and cast(floor(epoch(e.ts)) as bigint) >= b.t0
+         and cast(floor(epoch(e.ts)) as bigint) < b.t0 + 86400
+        group by b.user_id order by b.user_id""",
     "docs_token_counts": f"""
         select doc_id,
                len(string_split({_NORM}, ' ')) as ws_tokens,

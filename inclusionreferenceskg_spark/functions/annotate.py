@@ -656,19 +656,27 @@ def _parse_sentence(toks: List[Tok]) -> None:
                     # "categories of data as referred to": climb out of
                     # the pobj chain to the head the clause modifies
                     g["climb_from"] = head
-                elif L(main).tag == "VBN" and L(head).dep == "conj":
-                    # "convictions and offences referred to in Article 10":
-                    # a passive participle modifies the whole coordination
-                    climbed = False
-                    while L(head).dep == "conj":
-                        h2 = L(head).head_i - base
-                        if not (0 <= h2 < n) or h2 == head \
-                                or _is_list_boundary(min(h2, head),
-                                                     max(h2, head)):
-                            break
-                        head = h2
-                        climbed = True
-                    L(main).acl_coord = climbed
+                elif L(main).tag == "VBN":
+                    if L(head).dep == "conj":
+                        # "convictions and offences referred to in
+                        # Article 10": the participle modifies the whole
+                        # coordination
+                        climbed = False
+                        while L(head).dep == "conj":
+                            h2 = L(head).head_i - base
+                            if not (0 <= h2 < n) or h2 == head \
+                                    or _is_list_boundary(min(h2, head),
+                                                         max(h2, head)):
+                                break
+                            head = h2
+                            climbed = True
+                        L(main).acl_coord = climbed
+                    else:
+                        # "description of the ... measures referred to":
+                        # climb one pobj hop when it lands on an
+                        # enumeration-item head (refined after step 5)
+                        g["climb_from"] = head
+                        g["climb_direct"] = True
                 L(main).head_i = base + head
                 continue
             # participial clause set off by a comma attaches to the head
@@ -948,6 +956,18 @@ def _parse_sentence(toks: List[Tok]) -> None:
     for g in groups:
         if g.get("climb_from") is not None:
             top = _climb_nominal(g["climb_from"])
+            if g.get("climb_direct"):
+                # adjacent participle: hop a single pobj link only when it
+                # lands on an enumeration conjunct NP
+                h0 = g["climb_from"]
+                t0 = L(h0)
+                if t0.dep == "pobj":
+                    prep = t0.head_i - base
+                    host = L(prep).head_i - base if 0 <= prep < n else -1
+                    if 0 <= host < n and L(host).pos == "NOUN" \
+                            and L(host).dep == "conj":
+                        L(g["main"]).head_i = base + host
+                continue
             t = L(top)
             if t.dep == "pobj":
                 prep = t.head_i - base

@@ -24,8 +24,8 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-LO = int(os.environ.get("SCALE_LO", "8"))
-HI = int(os.environ.get("SCALE_HI", "32"))
+LO = int(os.environ.get("SCALE_LO", "2"))
+HI = int(os.environ.get("SCALE_HI", "8"))
 
 
 def _cpu_unit(_):
@@ -47,6 +47,7 @@ def run(cpus: int) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
                SPARK_GRAFT_SF_DIR=SF_DIR)
     env.setdefault("SPARK_SHUFFLE_PARTITIONS", str(max(HI * 2, 64)))
+    env.setdefault("SPARK_GRAFT_BENCH_TRIALS", "3")
     out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
                          env=env, capture_output=True, text=True, check=True)
     return json.loads(out.stdout.strip().splitlines()[-1])

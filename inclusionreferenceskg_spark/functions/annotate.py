@@ -453,6 +453,7 @@ def _parse_sentence(toks: List[Tok]) -> None:
     anchor = None
     prev_head = None
     enum_waiting = False
+    first_np = None  # first NP head after the last finite verb
     deferred = None  # coordination suspended across a parenthetical PP
     enum_anchor = None  # NP before a ':' — survives verb resets so that
     # "; (f) ..." items keep conj-linking into the colon enumeration even
@@ -464,6 +465,7 @@ def _parse_sentence(toks: List[Tok]) -> None:
             anchor = None
             prev_head = None
             pending = None
+            first_np = None
             if t.tag not in ("VBN", "VBG"):
                 # participles don't close a suspended coordination
                 # ("and, in the case of transfers referred to in X, the Y")
@@ -506,6 +508,8 @@ def _parse_sentence(toks: List[Tok]) -> None:
                 # colon anchors the enumeration
                 enum_anchor = k
                 enum_waiting = False
+            if first_np is None:
+                first_np = k
             prev_head = k
             pending = None
         elif t.pos == "CCONJ":
@@ -521,12 +525,14 @@ def _parse_sentence(toks: List[Tok]) -> None:
             if pending is not None and pending[1] is not None \
                     and k + 1 < n and L(k + 1).pos == "ADP":
                 # "and, in the case of X, the Y": the coordination is
-                # suspended across the parenthetical PP and resumes at
-                # the NP after its closing comma
-                deferred = pending
+                # suspended across the parenthetical PP and resumes —
+                # coordinating with the clause's first object — at the NP
+                # after the closing comma
+                deferred = (pending, first_np if first_np is not None
+                            else prev_head)
                 pending = None
             elif deferred is not None:
-                pending = deferred
+                pending, prev_head = deferred
                 deferred = None
             elif pending is None:
                 pending = ("local", None)
@@ -751,6 +757,9 @@ def _parse_sentence(toks: List[Tok]) -> None:
         t = L(k)
         if t.text.lower() == "not":
             nxt_main = next((m for m in mains if m >= k), None)
+            if nxt_main is None:
+                # "… is not occasional.": negation after the clause's verb
+                nxt_main = max((m for m in mains if m < k), default=None)
             if nxt_main is not None:
                 t.dep, t.head_i = "neg", base + nxt_main
         elif t.pos == "PART" and t.tag == "TO":

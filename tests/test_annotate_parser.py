@@ -1,0 +1,81 @@
+"""Unit tests for the rule parser's sentence-level behaviors added while
+closing the triple-F1 gap (annotate.py): each test pins one rule with a
+minimal sentence, model-free like the reference's own test layer."""
+
+from inclusionreferenceskg_spark.functions.annotate import annotate_text
+
+
+def _doc(text):
+    sents = annotate_text(text, [])
+    return [t for s in sents for t in s]
+
+
+def _tok(doc, text, nth=0):
+    hits = [t for t in doc if t.text == text]
+    return hits[nth]
+
+
+def test_soft_hyphen_fragment_rejoin():
+    doc = _doc("the identifi cation of that country.")
+    texts = [t.text for t in doc]
+    assert "identification" in texts
+    assert "identifi" not in texts
+
+
+def test_plural_noun_not_verb():
+    doc = _doc("The controller shall keep records of transfers and "
+               "the time limits for erasure.")
+    assert _tok(doc, "records").pos == "NOUN"
+    assert _tok(doc, "transfers").pos == "NOUN"
+    assert _tok(doc, "limits").pos == "NOUN"
+
+
+def test_zero_relativizer_relcl_and_coref():
+    doc = _doc("This shall not apply to an enterprise or an organisation "
+               "unless the processing it carries out is occasional.")
+    carries = _tok(doc, "carries")
+    assert carries.dep == "relcl"
+    assert carries.head.text == "processing"
+    it = _tok(doc, "it")
+    assert it.dep == "nsubj" and it.head is carries
+    # coordinated antecedent: it -> [enterprise, organisation]
+    ante = sorted(doc[i].text for i in (it.coref or []))
+    assert ante == ["enterprise", "organisation"]
+
+
+def test_enumeration_anchor_through_colon():
+    doc = _doc("The record shall contain the following information: "
+               "(a) the name of the controller; (b) the purposes of "
+               "the processing; (c) a description of the categories.")
+    info = _tok(doc, "information")
+    for item in ("name", "purposes", "description"):
+        t = _tok(doc, item)
+        assert t.dep == "conj" and t.head is info, (item, t.dep,
+                                                    t.head.text)
+
+
+def test_propn_modifier_coordination():
+    doc = _doc("The processor is required to do so by Union or Member "
+               "State law.")
+    union = _tok(doc, "Union")
+    law = _tok(doc, "law")
+    assert union.dep == "compound" and union.head is law
+    assert law.dep == "pobj"
+
+
+def test_parenthetical_pp_suspended_coordination():
+    doc = _doc("The record shall contain the identification of the "
+               "country and, in the case of transfers, the documentation "
+               "of safeguards.")
+    documentation = _tok(doc, "documentation")
+    assert documentation.dep == "conj"
+    assert documentation.head.text == "identification"
+
+
+def test_predicate_adjective_and_adverb():
+    doc = _doc("The processing is likely to result in a risk and the "
+               "processing is not occasional.")
+    likely = _tok(doc, "likely")
+    assert likely.dep == "advmod" and likely.head.text == "is"
+    occ = _tok(doc, "occasional")
+    assert occ.dep == "acomp"

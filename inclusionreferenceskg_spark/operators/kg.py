@@ -260,6 +260,9 @@ def connected_components(pairs: DataFrame, max_iter: int = 12) -> DataFrame:
     are small by construction, so few iterations; ``localCheckpoint`` every
     round keeps lineage bounded.
     """
+    # materialize the pair list before the symmetric union references it
+    # twice (concurrent branches would run the linker plan twice)
+    pairs = pairs.localCheckpoint(eager=True)
     edges = (pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
              .union(pairs.select(F.col("b").alias("x"),
                                  F.col("a").alias("y")))
@@ -349,6 +352,11 @@ def build_graph(nodes: DataFrame, resolved: DataFrame,
                 include_extensions: bool = False):
     """Convenience wrapper: returns (kg_nodes, final_edges, canon, triples)."""
     wide = extract_graph(nodes, resolved, include_extensions).cache()
+    # materialize the UDF stage once before the plan fans out: the linker
+    # pair sets and the CC edge union each reference `wide` several times,
+    # and concurrent first-use branches would race the unfilled cache and
+    # re-run the (expensive) annotate/extract subtree per branch
+    wide.count()
     kn = graph_nodes(wide)
     ke = graph_edges(wide).unionByName(contains_edges(nodes))
     pairs = entity_link_pairs(kn, l3_candidates(wide), nodes)

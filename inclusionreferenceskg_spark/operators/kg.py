@@ -260,39 +260,58 @@ def connected_components(pairs: DataFrame, max_iter: int = 12) -> DataFrame:
     are small by construction, so few iterations; ``localCheckpoint`` every
     round keeps lineage bounded.
     """
-    # materialize the pair list before the symmetric union references it
-    # twice (concurrent branches would run the linker plan twice)
-    pairs = pairs.localCheckpoint(eager=True)
-    edges = (pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
-             .union(pairs.select(F.col("b").alias("x"),
-                                 F.col("a").alias("y")))
-             .distinct()
-             # materialize once: every iteration joins against this, and
-             # without the checkpoint the whole upstream linker plan would
-             # re-execute per iteration (and per convergence count)
-             .localCheckpoint(eager=True))
-    labels = (edges.select(F.col("x").alias("id"))
-              .distinct()
-              .withColumn("label", F.col("id"))
-              .localCheckpoint(eager=True))
-    for _ in range(max_iter):
-        nbr_min = (edges
-                   .join(labels, edges["y"] == labels["id"])
-                   .groupBy("x").agg(F.min("label").alias("nbr_label")))
-        new_labels = (labels
-                      .join(nbr_min, labels["id"] == nbr_min["x"], "left")
-                      .select(F.col("id"),
-                              F.least(F.col("label"),
-                                      F.coalesce(F.col("nbr_label"),
-                                                 F.col("label")))
-                              .alias("label")))
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "id")
-                   .filter(F.col("n.label") != F.col("o.label")).count())
-        labels = new_labels
-        if changed == 0:
-            break
+    spark = pairs.sparkSession
+    # the merge graph is tiny relative to the corpus (a few pairs per
+    # page); run the loop on few partitions and without AQE re-planning so
+    # each iteration is one cheap job — this loop is the pipeline's main
+    # core-count-independent cost, so its fixed latency IS the scaling
+    # bottleneck at small cluster sizes
+    cc_parts = 8
+    aqe_was = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        # materialize the pair list before the symmetric union references
+        # it twice (concurrent branches would run the linker plan twice)
+        pairs = pairs.localCheckpoint(eager=True)
+        edges = (pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
+                 .union(pairs.select(F.col("b").alias("x"),
+                                     F.col("a").alias("y")))
+                 .distinct()
+                 .repartition(cc_parts, "x")
+                 # materialize once: every iteration joins against this —
+                 # without the checkpoint the whole upstream linker plan
+                 # would re-execute per iteration
+                 .localCheckpoint(eager=True))
+        labels = (edges.select(F.col("x").alias("id"))
+                  .distinct()
+                  .withColumn("label", F.col("id"))
+                  .repartition(cc_parts, "id")
+                  .localCheckpoint(eager=True))
+
+        def step(lbls):
+            nbr_min = (edges
+                       .join(lbls, edges["y"] == lbls["id"])
+                       .groupBy("x").agg(F.min("label").alias("nbr_label")))
+            return (lbls
+                    .join(nbr_min, lbls["id"] == nbr_min["x"], "left")
+                    .select(F.col("id"),
+                            F.least(F.col("label"),
+                                    F.coalesce(F.col("nbr_label"),
+                                               F.col("label")))
+                            .alias("label")))
+
+        for _ in range(0, max_iter, 2):
+            # double-step between convergence checks: halves the driver
+            # round-trips; the extra pass after convergence is a no-op
+            new_labels = step(step(labels)).localCheckpoint(eager=True)
+            changed = (new_labels.alias("n")
+                       .join(labels.alias("o"), "id")
+                       .filter(F.col("n.label") != F.col("o.label")).count())
+            labels = new_labels
+            if changed == 0:
+                break
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
     return labels.select(F.col("id").alias("kg_id"),
                          F.col("label").alias("canon_id"))
 

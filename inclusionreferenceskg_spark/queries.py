@@ -225,6 +225,17 @@ def docs_fingerprints(spark, sf_dir):
         _t(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
+def docs_source_composition(spark, sf_dir):
+    """Corpus-composition report per (source, lang): the standard first
+    look at a training-data crawl (doc counts, volume, mean length)."""
+    d = _t(spark, sf_dir, "documents")
+    return (d.groupBy("source", "lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars"),
+                 F.round(F.avg(F.length("text")), 2).alias("avg_len"))
+            .orderBy("source", "lang"))
+
+
 def dedup_exact(spark, sf_dir):
     return dedup.exact_duplicates(
         _t(spark, sf_dir, "documents")).orderBy("text_hash")
@@ -323,6 +334,7 @@ QUERIES: Dict[str, Callable] = {
     "q_cube_nation_status": q_cube_nation_status,
     "q_except_inactive_custs": q_except_inactive_custs,
     "q_range_join_events": q_range_join_events,
+    "docs_source_composition": docs_source_composition,
     "docs_token_counts": docs_token_counts,
     "docs_quality": docs_quality,
     "docs_lang_id": docs_lang_id,
@@ -578,6 +590,11 @@ ORACLES: Dict[str, str] = {
          and cast(floor(epoch(e.ts)) as bigint) >= b.t0
          and cast(floor(epoch(e.ts)) as bigint) < b.t0 + 86400
         group by b.user_id order by b.user_id""",
+    "docs_source_composition": """
+        select source, lang, count(*) as n_docs,
+               sum(n_chars) as total_chars,
+               round(avg(length(text)), 2) as avg_len
+        from documents group by source, lang order by source, lang""",
     "docs_token_counts": f"""
         select doc_id,
                len(string_split({_NORM}, ' ')) as ws_tokens,

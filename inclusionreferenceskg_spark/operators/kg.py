@@ -370,12 +370,17 @@ def make_triples(final_edges: DataFrame, kg_nodes: DataFrame,
 def build_graph(nodes: DataFrame, resolved: DataFrame,
                 include_extensions: bool = False):
     """Convenience wrapper: returns (kg_nodes, final_edges, canon, triples)."""
-    wide = extract_graph(nodes, resolved, include_extensions).cache()
-    # materialize the UDF stage once before the plan fans out: the linker
+    # materialize the UDF stage once before the plan fans out — the linker
     # pair sets and the CC edge union each reference `wide` several times,
-    # and concurrent first-use branches would race the unfilled cache and
-    # re-run the (expensive) annotate/extract subtree per branch
-    wide.count()
+    # and concurrent first-use branches would race an unfilled cache and
+    # re-run the (expensive) annotate/extract subtree per branch.
+    # localCheckpoint (not cache) also TRUNCATES the lineage, so the ~10
+    # downstream driver actions (checkpoint rounds, CC counts, final
+    # triples) re-plan a one-node scan instead of the whole pipeline —
+    # driver planning was a measurable slice of the core-count-independent
+    # cost that caps scaling efficiency
+    wide = extract_graph(nodes, resolved,
+                         include_extensions).localCheckpoint(eager=True)
     kn = graph_nodes(wide)
     ke = graph_edges(wide).unionByName(contains_edges(nodes))
     pairs = entity_link_pairs(kn, l3_candidates(wide), nodes)

@@ -35,6 +35,11 @@ BENCH_QUERIES = [
     "q3_top_orders",
     "q_window_latest_event",
     "q_sessionize",
+    "q_topk_orders_per_cust",
+    "q_cube_nation_status",
+    "q_except_inactive_custs",
+    "q_range_join_events",
+    "docs_source_composition",
     "docs_token_counts",
     "docs_lang_id",
     "dedup_exact",

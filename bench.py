@@ -62,6 +62,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     timings = {}
+    if os.environ.get("SPARK_GRAFT_KG_ONLY"):
+        BENCH_QUERIES.clear()
     for name in BENCH_QUERIES:
         fn = catalog.QUERIES[name]
         t0 = time.perf_counter()

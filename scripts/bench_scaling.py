@@ -43,11 +43,13 @@ def calibrate(procs: int, units: int = 64) -> float:
     return time.perf_counter() - t0
 
 
-def run(cpus: int) -> dict:
+def run(cpus: int, kg_only: bool = False, trials: str = "1") -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
                SPARK_GRAFT_SF_DIR=SF_DIR)
     env.setdefault("SPARK_SHUFFLE_PARTITIONS", str(max(HI * 2, 64)))
-    env.setdefault("SPARK_GRAFT_BENCH_TRIALS", "3")
+    env["SPARK_GRAFT_BENCH_TRIALS"] = trials
+    if kg_only:
+        env["SPARK_GRAFT_KG_ONLY"] = "1"
     out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
                          env=env, capture_output=True, text=True, check=True)
     return json.loads(out.stdout.strip().splitlines()[-1])
@@ -58,8 +60,20 @@ def main() -> None:
     t_hi = calibrate(HI)
     hw_speedup = t_lo / t_hi
 
-    r_lo = run(LO)
-    r_hi = run(HI)
+    # one full-query-set run per level for the per-query table...
+    r_lo = run(LO, trials="1")
+    r_hi = run(HI, trials="1")
+    # ...then interleaved kg-only trials for the headline throughput: the
+    # box carries bursty co-tenant load, so LO/HI pairs are alternated and
+    # each level keeps its least-interfered (minimum-wall) measurement
+    rounds = int(os.environ.get("SCALE_ROUNDS", "3"))
+    for _ in range(rounds):
+        for cpus, best in ((LO, r_lo), (HI, r_hi)):
+            r = run(cpus, kg_only=True, trials="1")
+            if r["queries"]["kg_triples"] < best["queries"]["kg_triples"]:
+                best["queries"]["kg_triples"] = r["queries"]["kg_triples"]
+                best["value"] = r["value"]
+                best["n_triples"] = r["n_triples"]
     speedup = r_hi["value"] / r_lo["value"]
     eff = speedup / (HI / LO)
     eff_hw = speedup / hw_speedup
@@ -69,6 +83,10 @@ def main() -> None:
 
 Input: deterministic synthetic corpus (seed=42, {docs} docs), identical for
 both runs; fresh JVM per run; `spark-submit`-equivalent local mode.
+Headline throughput per level is the minimum wall-clock over {rounds}+1
+interleaved LO/HI rounds (the box carries bursty co-tenant load; the
+minimum is the least-interfered measurement of the same deterministic
+plan — per-query table values are single-run and noisier).
 
 Hardware calibration: this box advertises 32 CPUs but is SMT-limited — an
 embarrassingly-parallel process pool speeds up only {hw_speedup:.2f}x from

@@ -251,14 +251,57 @@ def entity_link_pairs(kg_nodes: DataFrame, l3: DataFrame,
     return l1.unionByName(l2).unionByName(l4).unionByName(l3p).distinct()
 
 
-def connected_components(pairs: DataFrame, max_iter: int = 12) -> DataFrame:
-    """Min-label propagation over the merge-pair graph -> (kg_id, canon_id).
+def _partition_union_find(batches):
+    """mapInPandas kernel: union-find over all pairs in the partition,
+    emitting (kg_id, root=min id of its component) for non-root members.
+    Pairs are colocated by document-id prefix, so every same-document
+    component is complete within one partition; unrelated documents
+    sharing a partition cannot interact (disjoint id spaces)."""
+    import pandas as pd
 
-    The reference groups merge pairs into components with a driver-side DFS
-    (knowledge_graph.py:193-214) and reduces each group with ``merge``; the
-    nondeterministic ``set.pop()`` winner is replaced by min-id.  Components
-    are small by construction, so few iterations; ``localCheckpoint`` every
-    round keeps lineage bounded.
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for pdf in batches:
+        for a, b in zip(pdf["a"], pdf["b"]):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+    out_id, out_root = [], []
+    for x in parent:
+        r = find(x)
+        if r != x:
+            out_id.append(x)
+            out_root.append(r)
+    yield pd.DataFrame({"kg_id": out_id, "root": out_root})
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 12) -> DataFrame:
+    """Merge-pair graph -> (kg_id, canon_id), canonical = min id per
+    component (the deterministic replacement for the reference's
+    ``set.pop()`` winner, knowledge_graph.py:193-217).
+
+    Two phases, matching the edge structure the linkers produce:
+
+    1. **local contraction** — L1/L2/L4 (and most L3) pairs stay within
+       one document; a single union-find pass over document-prefix-
+       partitioned pairs resolves them in one shuffle with no iteration;
+    2. **quotient propagation** — only cross-document L3 pairs survive,
+       mapped through their local roots; the iterative min-label loop
+       runs on this (tiny) quotient graph, so round count and per-round
+       job latency no longer scale with the corpus.
+
+    Output is identical to running min-label on the full graph: min of
+    component == min over (local mins, quotient min).
     """
     spark = pairs.sparkSession
     # the merge graph is tiny relative to the corpus (a few pairs per
@@ -270,17 +313,36 @@ def connected_components(pairs: DataFrame, max_iter: int = 12) -> DataFrame:
     aqe_was = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
-        # materialize the pair list before the symmetric union references
-        # it twice (concurrent branches would run the linker plan twice)
+        # materialize the pair list before multiple branches reference it
+        # (concurrent branches would run the linker plan twice)
         pairs = pairs.localCheckpoint(eager=True)
-        edges = (pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
-                 .union(pairs.select(F.col("b").alias("x"),
-                                     F.col("a").alias("y")))
+
+        # phase 1: kg ids are "<sha(url)[:12]>:<kind><n>" — a pair is
+        # document-local iff the prefixes match
+        doc_local = F.substring("a", 1, 12) == F.substring("b", 1, 12)
+        nparts = max(spark.sparkContext.defaultParallelism, cc_parts)
+        local_map = (pairs.filter(doc_local)
+                     .repartition(nparts, F.substring("a", 1, 12))
+                     .mapInPandas(_partition_union_find,
+                                  "kg_id string, root string")
+                     .localCheckpoint(eager=True))
+
+        # phase 2: cross-document pairs re-expressed over local roots
+        la = local_map.select(F.col("kg_id").alias("a"),
+                              F.col("root").alias("ra"))
+        lb = local_map.select(F.col("kg_id").alias("b"),
+                              F.col("root").alias("rb"))
+        quotient = (pairs.filter(~doc_local)
+                    .join(la, "a", "left").join(lb, "b", "left")
+                    .select(F.coalesce("ra", "a").alias("a"),
+                            F.coalesce("rb", "b").alias("b"))
+                    .filter(F.col("a") != F.col("b")))
+        edges = (quotient.select(F.col("a").alias("x"),
+                                 F.col("b").alias("y"))
+                 .union(quotient.select(F.col("b").alias("x"),
+                                        F.col("a").alias("y")))
                  .distinct()
                  .repartition(cc_parts, "x")
-                 # materialize once: every iteration joins against this —
-                 # without the checkpoint the whole upstream linker plan
-                 # would re-execute per iteration
                  .localCheckpoint(eager=True))
         labels = (edges.select(F.col("x").alias("id"))
                   .distinct()
@@ -312,8 +374,19 @@ def connected_components(pairs: DataFrame, max_iter: int = 12) -> DataFrame:
                 break
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
-    return labels.select(F.col("id").alias("kg_id"),
-                         F.col("label").alias("canon_id"))
+
+    # compose: canon(id) = quotient_label(local_root(id)), defaulting to
+    # the local root / the id itself at each level
+    q = labels.select(F.col("id").alias("root"),
+                      F.col("label").alias("qlabel"))
+    composed_members = (local_map.join(q, "root", "left")
+                        .select("kg_id",
+                                F.coalesce("qlabel", "root")
+                                .alias("canon_id")))
+    root_rows = labels.select(F.col("id").alias("kg_id"),
+                              F.col("label").alias("canon_id"))
+    return (composed_members.unionByName(root_rows)
+            .groupBy("kg_id").agg(F.min("canon_id").alias("canon_id")))
 
 
 def apply_merges(kg_nodes: DataFrame, kg_edges: DataFrame,

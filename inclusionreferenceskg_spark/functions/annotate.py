@@ -21,6 +21,7 @@ executor).
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 from typing import Dict, List, Optional, Sequence, Tuple
 
 from inclusionreferenceskg_spark.functions.tokens import (
@@ -95,6 +96,7 @@ _FRAG_SUFFIX = {"tion", "tions", "cation", "cations", "sion", "sions",
                 "tive", "tives", "ment", "ments", "ance", "ence", "bility"}
 
 
+@lru_cache(maxsize=65536)
 def lemmatize(word: str, pos: str) -> str:
     w = word.lower()
     if pos in ("VERB", "AUX"):
@@ -131,6 +133,7 @@ def lemmatize(word: str, pos: str) -> str:
     return w
 
 
+@lru_cache(maxsize=65536)
 def _verb_form(word: str) -> Optional[str]:
     """Return the fine tag if the word is a known verb form, else None."""
     w = word.lower()

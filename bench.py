@@ -104,6 +104,11 @@ def main() -> None:
         "sf": SF_DIR,
         "cpus": CPUS,
         "n_triples": n_triples,
+        # measurement protocol stamp: headline is warm-started best-of-N
+        # (min wall over `trials` runs after one warm-up) — numbers are
+        # only comparable to baselines produced under the same protocol
+        "kg_protocol": {"trials": max(trials, 1), "warmup": 1,
+                        "aggregation": "min", "n_docs": n_docs},
     }
     print(json.dumps(out))
     spark.stop()

@@ -75,8 +75,10 @@ def minhash_signatures(documents: DataFrame,
 
     # two-step projection so the (expensive) shingle array is computed once
     # per row; CollapseProject keeps multiply-referenced non-cheap aliases
-    # in their own project
-    with_arr = documents.select(
+    # in their own project.  Null-text docs are dropped (matching the old
+    # explode+groupBy semantics — an all-null signature row would otherwise
+    # put every empty page into one LSH bucket per band downstream).
+    with_arr = documents.filter(F.col("text").isNotNull()).select(
         "doc_id", F.array_distinct(_shingle_array()).alias("sh_arr"))
     return with_arr.select("doc_id", *[mh(p) for p in range(n_perm)])
 
@@ -123,6 +125,7 @@ def simhash_signatures(documents: DataFrame,
     """B-bit SimHash over word tokens: per bit, sign of the sum of
     (+1 / -1) contributions from each token's hash bit."""
     toks = (documents
+            .filter(F.col("text").isNotNull())
             .select("doc_id", F.explode(F.array_distinct(
                 F.split(norm_text(F.col("text")), r" "))).alias("tok"))
             .withColumn("h", hash64(F.col("tok"))))
@@ -139,15 +142,91 @@ def simhash_signatures(documents: DataFrame,
     return summed.select("doc_id", sim.cast("bigint").alias("simhash"))
 
 
+SIMHASH64_BANDS = 4          # 4 x 16-bit bands over the 64-bit signature
+SIMHASH64_BAND_BITS = 16
+
+
+def simhash64_bands(documents: DataFrame) -> DataFrame:
+    """64-bit SimHash, materialized directly as its 4 x 16-bit band values
+    (``b0..b3`` — band j covers signature bits [16j, 16j+16)).
+
+    The 64 bit-planes come from two independent 60-bit portable hashes per
+    token (``L:``/``H:`` prefixes), 32 low bits of each, so Spark and the
+    DuckDB oracle agree bit-for-bit.  Null-text documents are filtered out
+    (they have no tokens; emitting an all-zero signature would glue every
+    empty page into one quadratic bucket)."""
+    toks = (documents
+            .filter(F.col("text").isNotNull())
+            .select("doc_id", F.explode(F.array_distinct(
+                F.split(norm_text(F.col("text")), r" "))).alias("tok"))
+            .withColumn("h_lo", hash64(F.concat(F.lit("L:"), F.col("tok"))))
+            .withColumn("h_hi", hash64(F.concat(F.lit("H:"), F.col("tok")))))
+    bit_sums = []
+    for i in range(64):
+        src = "h_lo" if i < 32 else "h_hi"
+        sh = i % 32
+        bit_sums.append(
+            F.sum(F.when(F.shiftright(F.col(src), sh)
+                         .bitwiseAND(F.lit(1)) == 1, 1)
+                  .otherwise(-1)).alias(f"s{i}"))
+    summed = toks.groupBy("doc_id").agg(*bit_sums)
+    band_cols = []
+    for j in range(SIMHASH64_BANDS):
+        band = None
+        for i in range(SIMHASH64_BAND_BITS):
+            bit = j * SIMHASH64_BAND_BITS + i
+            term = (F.when(F.col(f"s{bit}") > 0, F.lit(1 << i))
+                    .otherwise(F.lit(0)))
+            band = term if band is None else band + term
+        band_cols.append(band.cast("int").alias(f"b{j}"))
+    return summed.select("doc_id", *band_cols)
+
+
 def simhash_pairs(documents: DataFrame,
-                  bits: int = SIMHASH_BITS) -> DataFrame:
-    """Near-duplicate candidates: identical SimHash signature (bucket
-    join — Hamming-radius banding is the scale-out extension)."""
-    sig = simhash_signatures(documents, bits)
-    a = sig.select("simhash", F.col("doc_id").alias("a"))
-    b = sig.select("simhash", F.col("doc_id").alias("b"))
-    return (a.join(b, "simhash").filter(F.col("a") < F.col("b"))
-            .select("a", "b", "simhash"))
+                  max_hamming: int = 3,
+                  max_bucket: int = 50) -> DataFrame:
+    """Near-duplicate candidates via Hamming-band LSH over the 64-bit
+    SimHash: by pigeonhole, any pair within Hamming distance 3 agrees
+    exactly on at least one of the 4 16-bit bands, so candidates are the
+    per-band equality-join buckets (never an all-pairs product; a 16-bit
+    *total* signature equality join would be quadratic at web scale —
+    65 536 buckets for 10^10 docs).  Candidates are then verified with the
+    exact Hamming distance (xor + bit_count over the four bands).  Buckets
+    above ``max_bucket`` are dropped (boilerplate guard, same policy as
+    minhash LSH)."""
+    sig = simhash64_bands(documents)
+    band_structs = [
+        F.struct(F.lit(j).alias("band"), F.col(f"b{j}").alias("val"))
+        for j in range(SIMHASH64_BANDS)
+    ]
+    buckets = (sig.select("doc_id",
+                          F.explode(F.array(*band_structs)).alias("bb"))
+               .select("doc_id", F.col("bb.band").alias("band"),
+                       F.col("bb.val").alias("val")))
+    sized = buckets.withColumn(
+        "bucket_size",
+        F.count("*").over(Window.partitionBy("band", "val")))
+    ok = sized.filter(F.col("bucket_size") <= max_bucket)
+    cands = (ok.select("band", "val", F.col("doc_id").alias("a"))
+             .join(ok.select("band", "val", F.col("doc_id").alias("b")),
+                   ["band", "val"])
+             .filter(F.col("a") < F.col("b"))
+             .select("a", "b")
+             .distinct())
+    sa = sig.select(F.col("doc_id").alias("a"),
+                    *[F.col(f"b{j}").alias(f"a{j}")
+                      for j in range(SIMHASH64_BANDS)])
+    sb = sig.select(F.col("doc_id").alias("b"),
+                    *[F.col(f"b{j}").alias(f"bb{j}")
+                      for j in range(SIMHASH64_BANDS)])
+    hamming = None
+    for j in range(SIMHASH64_BANDS):
+        term = F.bit_count(F.expr(f"a{j} ^ bb{j}"))
+        hamming = term if hamming is None else hamming + term
+    return (cands.join(sa, "a").join(sb, "b")
+            .withColumn("hamming", hamming.cast("int"))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("a", "b", "hamming"))
 
 
 def ngram_jaccard_pairs(documents: DataFrame,

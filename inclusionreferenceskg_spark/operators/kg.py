@@ -309,6 +309,13 @@ def connected_components(pairs: DataFrame, max_iter: int = 12) -> DataFrame:
     # each iteration is one cheap job — this loop is the pipeline's main
     # core-count-independent cost, so its fixed latency IS the scaling
     # bottleneck at small cluster sizes
+    # NB: spark.conf is session-global — concurrent queries on the same
+    # SparkSession would run without AQE while this loop executes.  The
+    # pipeline runs its stages sequentially so this is safe here; callers
+    # sharing a session with unrelated concurrent jobs should run CC on a
+    # dedicated session (``SparkSession.newSession()`` shares the JVM but
+    # isolates conf).  The previous value is restored on exit; if it was
+    # unset we restore the documented Spark default ("true").
     cc_parts = 8
     aqe_was = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")

@@ -41,10 +41,20 @@ def _decode_image_bytes(payload: bytes):
     channel-mean feature).  Deterministic fake in this sandbox: dimensions
     derived from the payload hash, feature = 8 hash-derived floats.
     """
-    if _HAVE_PIL:  # pragma: no cover
-        raise NotImplementedError(
-            "real decode path: Image.open(BytesIO(payload)) -> size + "
-            "channel statistics")
+    if _HAVE_PIL:  # pragma: no cover - PIL absent in this container
+        try:
+            import io
+
+            with Image.open(io.BytesIO(payload)) as img:
+                width, height = img.size
+                small = img.convert("RGB").resize((8, 8))
+                pixels = list(small.getdata())
+                n = len(pixels)
+                feature = [round(sum(p[c] for p in pixels) / n / 255.0, 6)
+                           for c in range(3)]
+                return width, height, feature
+        except Exception:
+            pass  # not a decodable image -> deterministic fallback below
     digest = hashlib.sha256(payload or b"").digest()
     width = 64 + digest[0]
     height = 64 + digest[1]

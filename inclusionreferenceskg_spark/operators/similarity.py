@@ -14,9 +14,24 @@ once on bucket keys and reranks O(bucket) — the standard IVF/LSH trade.
 from __future__ import annotations
 
 import math
-from typing import List
+from typing import List, Optional
 
 from pyspark.sql import DataFrame, Window, functions as F
+
+#: dimensionality of the ``embeddings.embedding`` column (testdata contract,
+#: TESTDATA.md).  Passed explicitly so building a plan never runs a driver-side
+#: job to sniff the dimension from data.
+EMB_DIM = 64
+
+
+def planes_for(n_rows: int, target_bucket: int = 1024) -> int:
+    """SRP plane count sized to the corpus: enough hyperplanes that the
+    EXPECTED bucket population is ``target_bucket`` (2^planes buckets).
+    At 10^12 vectors this yields ~30 planes instead of a fixed handful,
+    keeping the per-bucket rerank bounded."""
+    if n_rows <= target_bucket:
+        return 1
+    return max(1, math.ceil(math.log2(n_rows / target_bucket)))
 
 
 def _dot(a, b):
@@ -64,10 +79,12 @@ def _hyperplane(dim: int, plane: int) -> List[float]:
     return [c / n for c in comps]
 
 
-def srp_bucket(embeddings: DataFrame, n_planes: int = 8) -> DataFrame:
+def srp_bucket(embeddings: DataFrame, n_planes: int = 8,
+               dim: int = EMB_DIM) -> DataFrame:
     """Signed-random-projection bucket id per vector (JVM-side dots against
-    literal hyperplanes)."""
-    dim = len(embeddings.select("embedding").first()["embedding"])
+    literal hyperplanes).  ``dim`` comes from the table contract (or
+    ``planes_for``-style sizing code) — never sniffed from the data, so
+    constructing the plan costs zero driver-side jobs."""
     sig = F.lit(0).cast("int")
     for p in range(n_planes):
         plane_sql = "array({})".format(",".join(
@@ -80,16 +97,34 @@ def srp_bucket(embeddings: DataFrame, n_planes: int = 8) -> DataFrame:
                              sig.alias("bucket"))
 
 
+def _cap_buckets(bucketed: DataFrame,
+                 max_bucket: Optional[int]) -> DataFrame:
+    """Drop buckets larger than ``max_bucket`` (boilerplate / hot-bucket
+    guard, same policy as minhash LSH's cap — an explicit, documented drop
+    rather than an unbounded quadratic rerank)."""
+    if max_bucket is None:
+        return bucketed
+    sized = bucketed.withColumn(
+        "bucket_size", F.count("*").over(Window.partitionBy("bucket")))
+    return sized.filter(
+        F.col("bucket_size") <= max_bucket).drop("bucket_size")
+
+
 def ann_lsh_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 5,
-                 n_planes: int = 6) -> DataFrame:
+                 n_planes: int = 6,
+                 max_bucket: Optional[int] = 100_000) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's SRP bucket,
-    exact cosine rerank inside the bucket."""
+    exact cosine rerank inside the bucket.  Candidate buckets above
+    ``max_bucket`` are dropped; queries keep their bucket id regardless so
+    an oversize bucket degrades that query's recall rather than silently
+    exploding the rerank."""
     bucketed = srp_bucket(embeddings, n_planes)
     queries = (bucketed.filter(F.col("vec_id") < n_queries)
                .select(F.col("vec_id").alias("query_id"),
                        F.col("embedding").alias("q"),
                        F.col("bucket")))
-    joined = (bucketed.join(F.broadcast(queries), "bucket")
+    joined = (_cap_buckets(bucketed, max_bucket)
+              .join(F.broadcast(queries), "bucket")
               .filter(F.col("vec_id") != F.col("query_id"))
               .withColumn("cosine",
                           _dot("q", "embedding")
@@ -104,10 +139,13 @@ def ann_lsh_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 5,
 
 def embedding_neardup_pairs(embeddings: DataFrame,
                             threshold: float = 0.95,
-                            n_planes: int = 6) -> DataFrame:
+                            n_planes: int = 6,
+                            max_bucket: Optional[int] = 100_000
+                            ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, bucketed by SRP signature
-    (exact cosines computed only within buckets)."""
-    bucketed = srp_bucket(embeddings, n_planes)
+    (exact cosines computed only within buckets; buckets above
+    ``max_bucket`` dropped, mirroring the minhash LSH cap)."""
+    bucketed = _cap_buckets(srp_bucket(embeddings, n_planes), max_bucket)
     a = bucketed.select("bucket", F.col("vec_id").alias("a"),
                         F.col("embedding").alias("ea"))
     b = bucketed.select("bucket", F.col("vec_id").alias("b"),

@@ -185,8 +185,11 @@ def q_except_inactive_custs(spark, sf_dir):
 
 
 def q_range_join_events(spark, sf_dir):
-    """Non-equi range join: events landing inside each user's first-order
-    month window (value-range predicate on epoch seconds)."""
+    """Range join: events landing inside each user's first-day window
+    (value-range predicate on epoch seconds).  The join has an equi-key
+    (``user_id``), so it runs as a plain shuffle hash join with the range
+    predicate as a post-join filter — no broadcast of the per-user
+    aggregate, whose cardinality is unbounded at web scale."""
     ev = _t(spark, sf_dir, "events")
     bounds = (ev.groupBy("user_id")
               .agg(F.min(F.unix_timestamp("ts")).alias("t0")))
@@ -194,7 +197,7 @@ def q_range_join_events(spark, sf_dir):
                         F.col("t0"), (F.col("t0") + 86400).alias("t1"))
     e = ev.select(F.col("user_id").alias("u"), "event_id",
                   F.unix_timestamp("ts").alias("te"))
-    return (e.join(F.broadcast(win),
+    return (e.join(win,
                    (F.col("u") == F.col("user_id"))
                    & (F.col("te") >= F.col("t0"))
                    & (F.col("te") < F.col("t1")))
@@ -256,6 +259,11 @@ def dedup_simhash(spark, sf_dir):
         _t(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
+def dedup_simhash_pairs(spark, sf_dir):
+    return dedup.simhash_pairs(
+        _t(spark, sf_dir, "documents")).orderBy("a", "b")
+
+
 def dedup_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(
         _t(spark, sf_dir, "documents"), threshold=0.2).orderBy("a", "b")
@@ -277,8 +285,19 @@ def emb_neardup_pairs(spark, sf_dir):
 
 
 def multimodal_image_meta(spark, sf_dir):
-    return multimodal.image_metadata(
-        _kg_pages(spark, sf_dir)).orderBy("url")
+    """Typed metadata over an opaque binary column.
+
+    The testdata tables carry no binary column, so the payload is derived
+    deterministically (``encode(text)``) — DuckDB mirrors the derivation,
+    giving this operator a real value-level oracle.  The ``feature``
+    array stays out of the compared projection (unhashable driver-side);
+    it is covered by pytest (`tests/test_misc_operators.py`).
+    """
+    pages = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.encode(F.coalesce("text", F.lit("")), "UTF-8").alias("payload"))
+    return multimodal.image_metadata(pages, binary_col="payload").select(
+        "url", "n_bytes", "sha256", "width", "height").orderBy("url")
 
 
 # ------------------------------------------------------------- KG pipeline
@@ -343,6 +362,7 @@ QUERIES: Dict[str, Callable] = {
     "dedup_minhash_signatures": dedup_minhash_signatures,
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "dedup_simhash": dedup_simhash,
+    "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
@@ -416,6 +436,55 @@ def _simhash_sql() -> str:
         f" sums as (select doc_id, {bit_sums} from hashed group by doc_id)"
         f" select doc_id, cast({sim} as bigint) as simhash from sums"
         " order by doc_id")
+
+
+def _simhash64_bands_sql() -> str:
+    """DuckDB twin of ``dedup.simhash64_bands`` (4 x 16-bit band values of
+    the 64-bit simhash)."""
+    h_lo = _H64.format(x="concat('L:', tok)")
+    h_hi = _H64.format(x="concat('H:', tok)")
+    sums = []
+    for i in range(64):
+        src = "h_lo" if i < 32 else "h_hi"
+        sh = i % 32
+        sums.append(f"sum(case when ({src} >> {sh}) & 1 = 1 then 1 "
+                    f"else -1 end) as s{i}")
+    bands = []
+    for j in range(dedup.SIMHASH64_BANDS):
+        terms = " + ".join(
+            f"case when s{j * 16 + i} > 0 then {1 << i} else 0 end"
+            for i in range(dedup.SIMHASH64_BAND_BITS))
+        bands.append(f"cast({terms} as int) as b{j}")
+    return (
+        "with toks as (select doc_id, distinct_t.tok from documents,"
+        f" lateral (select distinct unnest(string_split({_NORM}, ' '))"
+        " as tok) distinct_t where text is not null),"
+        f" hashed as (select doc_id, {h_lo} as h_lo, {h_hi} as h_hi"
+        " from toks),"
+        f" sums as (select doc_id, {', '.join(sums)} from hashed"
+        " group by doc_id)"
+        f" select doc_id, {', '.join(bands)} from sums")
+
+
+def _simhash_pairs_sql() -> str:
+    nb = dedup.SIMHASH64_BANDS
+    band_sel = " union all ".join(
+        f"select doc_id, {j} as band, b{j} as val from sig"
+        for j in range(nb))
+    ham = " + ".join(f"bit_count(xor(sa.b{j}, sb.b{j}))" for j in range(nb))
+    return (
+        f"with sig as ({_simhash64_bands_sql()}),"
+        f" buckets as ({band_sel}),"
+        " sized as (select *, count(*) over (partition by band, val)"
+        " as bucket_size from buckets),"
+        " ok as (select * from sized where bucket_size <= 50),"
+        " cands as (select distinct x.doc_id as a, y.doc_id as b"
+        " from ok x join ok y on x.band = y.band and x.val = y.val"
+        " and x.doc_id < y.doc_id)"
+        f" select a, b, cast({ham} as int) as hamming"
+        " from cands join sig sa on sa.doc_id = a"
+        " join sig sb on sb.doc_id = b"
+        f" where {ham} <= 3 order by a, b")
 
 
 def _ngram_jaccard_sql() -> str:
@@ -545,8 +614,8 @@ ORACLES: Dict[str, str] = {
                        order by ts, event_id))) as gap
                    from events)
         select user_id,
-               sum(case when gap is null or gap > 1800 then 1 else 0 end)
-                   as n_sessions,
+               cast(sum(case when gap is null or gap > 1800 then 1 else 0 end)
+                   as bigint) as n_sessions,
                count(*) as n_events,
                round(sum(value), 2) as sum_value
         from g group by user_id order by user_id""",
@@ -559,7 +628,8 @@ ORACLES: Dict[str, str] = {
         order by l_returnflag, l_linestatus""",
     "q_events_json": """
         select event_type, count(*) as n,
-               sum(cast(json_extract_string(props, '$.k') as int)) as sum_k,
+               cast(sum(cast(json_extract_string(props, '$.k') as int))
+                   as bigint) as sum_k,
                max(cast(json_extract_string(props, '$.k') as int)) as max_k
         from events group by event_type order by event_type""",
     "q_topk_orders_per_cust": """
@@ -592,7 +662,7 @@ ORACLES: Dict[str, str] = {
         group by b.user_id order by b.user_id""",
     "docs_source_composition": """
         select source, lang, count(*) as n_docs,
-               sum(n_chars) as total_chars,
+               cast(sum(n_chars) as bigint) as total_chars,
                round(avg(length(text)), 2) as avg_len
         from documents group by source, lang order by source, lang""",
     "docs_token_counts": f"""
@@ -637,10 +707,21 @@ ORACLES: Dict[str, str] = {
         _minhash_sig_sql() + " order by doc_id",
     "dedup_minhash_pairs": _minhash_pairs_sql(),
     "dedup_simhash": _simhash_sql(),
+    "dedup_simhash_pairs": _simhash_pairs_sql(),
     "dedup_ngram_jaccard": _ngram_jaccard_sql(),
     "ann_cosine_topk": _ann_cosine_sql(),
     "ann_lsh_topk": _ann_lsh_sql(),
     "emb_neardup_pairs": _emb_neardup_sql(),
+    "multimodal_image_meta": """
+        with p as (select cast(doc_id as varchar) as url,
+                          sha256(coalesce(text, '')) as digest,
+                          cast(octet_length(encode(coalesce(text, '')))
+                              as int) as n_bytes
+                   from documents)
+        select url, n_bytes, digest as sha256,
+               cast(64 + ('0x' || substr(digest, 1, 2))::int as int) as width,
+               cast(64 + ('0x' || substr(digest, 3, 2))::int as int) as height
+        from p order by url""",
 }
 
 

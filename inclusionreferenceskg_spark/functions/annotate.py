@@ -251,7 +251,15 @@ def tag(toks: List[Tok]) -> None:
             t.pos, t.tag = "ADV", "RB"
         else:
             vtag = _verb_form(w)
-            if vtag == "VBZ" and lw in _PLURAL_NOT_VERB:
+            nxt_w = toks[k + 1].text.lower() if k + 1 < len(toks) else ""
+            if vtag == "VBZ" and lw in _PLURAL_NOT_VERB \
+                    and nxt_w not in DET:
+                # noun reading ("transfers of personal data", "the time
+                # limits for", "the records referred to") — but a following
+                # determiner starts a direct object, which marks the verbal
+                # use ("the controller records each operation").  A bare-
+                # noun object ("the regulation limits processing") is still
+                # mistagged; see test_annotate_parser.py for the noted gap.
                 t.pos, t.tag = "NOUN", "NNS"
             elif vtag is not None:
                 t.pos, t.tag = "VERB", vtag

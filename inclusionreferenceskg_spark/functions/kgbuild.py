@@ -113,6 +113,21 @@ def render_document(url: str, node_rows: List[Dict],
         phrases.extend(
             extractor.extract_from_sentence(sent, include_extensions))
 
+    kg_nodes, edges = assemble_graph(url, prefix, phrases, node_of,
+                                     include_extensions)
+    l3 = l3_candidates(url, doc, kg_nodes)
+    return {"kg_nodes": list(kg_nodes.values()), "kg_edges": edges, "l3": l3}
+
+
+def assemble_graph(url: str, prefix: str, phrases: List[Phrase], node_of,
+                   include_extensions: bool = False):
+    """Graph assembly proper (KGRenderer.render/_add_phrase,
+    kg_renderer.py:35-126): phrases -> kg node rows + edge rows.  Split out
+    from :func:`render_document` so the reference's hand-built-phrase unit
+    tests (tests/kg_creation/test_kg_renderer.py) port 1:1 against it.
+
+    :param node_of: token -> node-row dict (``token._.node`` equivalent).
+    """
     kg_nodes: Dict[str, Dict] = {}
     edges: List[Dict] = []
     added: set = set()
@@ -209,8 +224,16 @@ def render_document(url: str, node_rows: List[Dict],
 
     for phrase in phrases:
         add_phrase(phrase, topmost=True)
+    return kg_nodes, edges
 
-    # L3 candidates across the whole document
+
+def l3_candidates(url: str, doc: List[Tok],
+                  kg_nodes: Dict[str, Dict]) -> List[Dict]:
+    """ReferenceLinker candidates (reference_linker.py:29-59): a
+    ``<object> VERB|ADJ ADP+ <REF>`` window within 10 tokens of a
+    PhraseObject's token emits (kg node, mention-target) rows; the merge
+    itself is the path-prefix subtree join + lemma-set equality downstream
+    (operators/kg.py)."""
     l3 = []
     for row in kg_nodes.values():
         if row["kind"] != "object":
@@ -234,5 +257,4 @@ def render_document(url: str, node_rows: List[Dict],
                     "target_node_id": target["node_id"],
                     "target_url": target.get("url"),
                 })
-
-    return {"kg_nodes": list(kg_nodes.values()), "kg_edges": edges, "l3": l3}
+    return l3

@@ -188,13 +188,20 @@ class PhraseExtractor:
                     [p.token for p in phrase.predicate])]
 
             object_children = []
+            deep_children = []
             for obj in itertools.chain(phrase.agent_objects,
                                        phrase.patient_objects):
-                # children of each object (phrase_extractor.py:54-56),
-                # deepened through the object's own prep/pobj chains so a
-                # participial clause on a nested nominal ("in the case of
-                # transfers referred to in X") still links to this phrase
-                stack = [obj.token]
+                # direct children of each object (phrase_extractor.py:54-56);
+                # additionally a DEEP scan through the object's prep/pobj
+                # chains, admitted only for *conditional* clauses ("in the
+                # case of transfers referred to in X" with a where/if mark)
+                # — the golden CSV shows the reference links those
+                # (contain/including -> conditional referred) while plain
+                # participials on nested nominals (carried out on behalf
+                # of...) stay top-level as in the direct-children semantics
+                object_children.extend(obj.token.children)
+                stack = [pc for c in obj.token.children if c.dep == "prep"
+                         for pc in c.children if pc.dep == "pobj"]
                 seen_n = set()
                 while stack:
                     tok = stack.pop()
@@ -202,13 +209,14 @@ class PhraseExtractor:
                         continue
                     seen_n.add(tok.i)
                     for c in tok.children:
-                        object_children.append(c)
+                        deep_children.append(c)
                         if c.dep == "prep":
                             stack.extend(pc for pc in c.children
                                          if pc.dep == "pobj")
 
             phrase.patient_phrases, phrase.agent_phrases = self._link_phrases(
-                deletion_marks, object_children, phrase, phrases)
+                deletion_marks, object_children, phrase, phrases,
+                deep_children)
 
             self._switch_dependants_on_passive(phrase)
             self._resolve_relative_clauses(
@@ -234,28 +242,41 @@ class PhraseExtractor:
         return [p for p in phrases if p.id not in deletion_marks]
 
     def _link_phrases(self, deletion_marks, object_children, phrase,
-                      phrases) -> Tuple[List[Phrase], List[Phrase]]:
+                      phrases, deep_children=()) -> Tuple[List[Phrase],
+                                                          List[Phrase]]:
         """Nested clauses whose predicate acts as object/subject of this
-        phrase (phrase_extractor.py:147-184)."""
+        phrase (phrase_extractor.py:147-184).  ``deep_children`` (clause
+        heads found through nested prep/pobj chains rather than as direct
+        object children) are only linked when the nested clause is
+        conditional — see extract_from_sentence."""
+        def clause_like(t):
+            return (t.dep in ("ccomp", "advcl") or is_acl_without_subj(t)
+                    or (t.dep == "xcomp" and t.pos in ("VERB", "AUX")))
+
         verb_as_patient = [
             t for pred in phrase.predicate
             for t in itertools.chain(pred.token.children, object_children)
-            if t.dep in ("ccomp", "advcl") or is_acl_without_subj(t)
-            or (t.dep == "xcomp" and t.pos in ("VERB", "AUX"))]
+            if clause_like(t)]
 
-        def collect(candidates):
+        def collect(candidates, require_conditional=False):
             found = []
             for tok in candidates:
                 for p in phrases:
                     if p.id == phrase.id:
                         continue
                     if any(pred.token is tok for pred in p.predicate):
+                        if require_conditional and not is_conditional(p):
+                            break
                         found.append(p)
                         deletion_marks.add(p.id)
                         break
             return found
 
         patient = collect(verb_as_patient)
+        patient += collect(
+            [t for t in deep_children if clause_like(t)
+             and not any(p is t for p in verb_as_patient)],
+            require_conditional=True)
         verb_as_agent = [
             t for pred in phrase.predicate
             for t in itertools.chain(pred.token.children, object_children)

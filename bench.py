@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash_pairs",
     "dedup_simhash",
+    "dedup_simhash_pairs",
     "ann_cosine_topk",
     "emb_neardup_pairs",
     "kg_nodes",

@@ -51,13 +51,6 @@ def _shingle_array():
         f"'\\\\s+', ' ')), ' '), i, {SHINGLE_K})))")
 
 
-def _shingles(documents: DataFrame) -> DataFrame:
-    """doc_id -> exploded k-word shingles of the normalized text."""
-    return (documents
-            .select("doc_id", F.explode(F.array_distinct(_shingle_array()))
-                    .alias("shingle")))
-
-
 def minhash_signatures(documents: DataFrame,
                        n_perm: int = N_PERM) -> DataFrame:
     """P min-hashes per document, computed entirely inside whole-stage

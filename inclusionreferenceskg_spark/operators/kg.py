@@ -285,7 +285,8 @@ def _partition_union_find(batches):
     yield pd.DataFrame({"kg_id": out_id, "root": out_root})
 
 
-def connected_components(pairs: DataFrame, max_iter: int = 12) -> DataFrame:
+def connected_components(pairs: DataFrame, max_iter: int = 12,
+                         small_quotient_cutoff: int = 200_000) -> DataFrame:
     """Merge-pair graph -> (kg_id, canon_id), canonical = min id per
     component (the deterministic replacement for the reference's
     ``set.pop()`` winner, knowledge_graph.py:193-217).
@@ -351,34 +352,67 @@ def connected_components(pairs: DataFrame, max_iter: int = 12) -> DataFrame:
                  .distinct()
                  .repartition(cc_parts, "x")
                  .localCheckpoint(eager=True))
-        labels = (edges.select(F.col("x").alias("id"))
-                  .distinct()
-                  .withColumn("label", F.col("id"))
-                  .repartition(cc_parts, "id")
-                  .localCheckpoint(eager=True))
 
-        def step(lbls):
-            nbr_min = (edges
-                       .join(lbls, edges["y"] == lbls["id"])
-                       .groupBy("x").agg(F.min("label").alias("nbr_label")))
-            return (lbls
-                    .join(nbr_min, lbls["id"] == nbr_min["x"], "left")
-                    .select(F.col("id"),
-                            F.least(F.col("label"),
-                                    F.coalesce(F.col("nbr_label"),
-                                               F.col("label")))
-                            .alias("label")))
+        # small-quotient fast path: the min-label loop costs a fixed ~4-6
+        # Spark jobs per double-step regardless of data size — pure
+        # core-count-independent latency.  When the quotient fits on the
+        # driver (an explicit, logged cutoff; the quotient holds only
+        # cross-document merge pairs, already contracted through their
+        # local roots), a driver-side union-find produces the identical
+        # min-id labels in one collect.  At web scale the quotient exceeds
+        # the cutoff and the distributed loop below runs instead.
+        n_quotient = edges.count()
+        if n_quotient <= small_quotient_cutoff:
+            parent: dict = {}
 
-        for _ in range(0, max_iter, 2):
-            # double-step between convergence checks: halves the driver
-            # round-trips; the extra pass after convergence is a no-op
-            new_labels = step(step(labels)).localCheckpoint(eager=True)
-            changed = (new_labels.alias("n")
-                       .join(labels.alias("o"), "id")
-                       .filter(F.col("n.label") != F.col("o.label")).count())
-            labels = new_labels
-            if changed == 0:
-                break
+            def find(x: str) -> str:
+                parent.setdefault(x, x)
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for row in edges.collect():
+                ra, rb = find(row["x"]), find(row["y"])
+                if ra != rb:
+                    lo, hi = min(ra, rb), max(ra, rb)
+                    parent[hi] = lo
+            label_rows = [(n, find(n)) for n in parent]
+            labels = spark.createDataFrame(
+                label_rows or [("", "")], "id string, label string")
+            if not label_rows:
+                labels = labels.filter(F.lit(False))
+        else:
+            labels = (edges.select(F.col("x").alias("id"))
+                      .distinct()
+                      .withColumn("label", F.col("id"))
+                      .repartition(cc_parts, "id")
+                      .localCheckpoint(eager=True))
+
+            def step(lbls):
+                nbr_min = (edges
+                           .join(lbls, edges["y"] == lbls["id"])
+                           .groupBy("x")
+                           .agg(F.min("label").alias("nbr_label")))
+                return (lbls
+                        .join(nbr_min, lbls["id"] == nbr_min["x"], "left")
+                        .select(F.col("id"),
+                                F.least(F.col("label"),
+                                        F.coalesce(F.col("nbr_label"),
+                                                   F.col("label")))
+                                .alias("label")))
+
+            for _ in range(0, max_iter, 2):
+                # double-step between convergence checks: halves the driver
+                # round-trips; the extra pass after convergence is a no-op
+                new_labels = step(step(labels)).localCheckpoint(eager=True)
+                changed = (new_labels.alias("n")
+                           .join(labels.alias("o"), "id")
+                           .filter(F.col("n.label")
+                                   != F.col("o.label")).count())
+                labels = new_labels
+                if changed == 0:
+                    break
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
 

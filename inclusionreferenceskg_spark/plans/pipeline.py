@@ -33,6 +33,13 @@ def run_pipeline(pages: DataFrame, include_extensions: bool = False,
     """The full product pipeline over a pages DataFrame."""
     nodes = parse_pages(pages)
     if cache:
+        # a lazy cache is sufficient here: the downstream diamond (the
+        # resolve join references nodes via two branches) is ONE job, and
+        # the DAG scheduler computes the shared lineage once regardless of
+        # cache state — the concurrent-first-use race only bites across
+        # separate actions, which is why `wide` (referenced by ~10
+        # downstream actions) uses an eager localCheckpoint instead
+        # (operators/kg.py:build_graph)
         nodes = nodes.cache()
     qualifiers = build_qualifiers(nodes)
     resolved = resolve_targets(qualifiers, nodes)

@@ -80,3 +80,20 @@ def test_duplicate_edges_keep_last_write(spark):
     final = apply_merges(None, edges, canon).collect()
     assert len(final) == 1
     assert final[0]["label"] == "agent"  # last write wins (add_edge overwrite)
+
+
+def test_components_distributed_loop_matches_fast_path(spark):
+    """The driver-side small-quotient fast path and the distributed
+    min-label loop must produce identical canonical maps; cutoff=0 forces
+    the loop on the same input."""
+    merges = [("1", "2"), ("2", "3"), ("3", "4"), ("2", "4"),
+              ("5", "6"), ("6", "7"),
+              ("9", "10"), ("9", "11"), ("9", "12")]
+    fast = {(r["kg_id"], r["canon_id"])
+            for r in connected_components(_pairs(spark, merges)).collect()}
+    loop = {(r["kg_id"], r["canon_id"])
+            for r in connected_components(
+                _pairs(spark, merges),
+                small_quotient_cutoff=0).collect()}
+    assert fast == loop
+    assert fast  # non-empty

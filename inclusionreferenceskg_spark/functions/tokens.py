@@ -18,7 +18,7 @@ from typing import Dict, Iterable, List, Optional, Sequence
 class Tok:
     __slots__ = ("i", "text", "lemma", "pos", "tag", "dep", "head_i", "sent",
                  "is_ref", "ref_targets", "coref", "idx", "_children",
-                 "acl_coord")
+                 "_rights", "_lefts", "acl_coord")
 
     def __init__(self, i: int, text: str, lemma: str = None, pos: str = "X",
                  tag: str = "", dep: str = "dep", head_i: int = None,
@@ -40,6 +40,8 @@ class Tok:
         self.coref = coref
         self.idx = idx           # char offset in the document text
         self._children = None    # filled by index_children for O(1) access
+        self._rights = None
+        self._lefts = None
         self.acl_coord = False   # acl attached to a coordination root
 
     @property
@@ -55,10 +57,14 @@ class Tok:
 
     @property
     def lefts(self) -> List["Tok"]:
+        if self._lefts is not None:
+            return self._lefts
         return [t for t in self.children if t.i < self.i]
 
     @property
     def rights(self) -> List["Tok"]:
+        if self._rights is not None:
+            return self._rights
         return [t for t in self.children if t.i > self.i]
 
     def __repr__(self):
@@ -99,13 +105,17 @@ def make_doc(token_lists: Sequence[Sequence[Tok]]) -> List[Sent]:
 
 
 def index_children(doc: List[Tok]) -> None:
-    """Precompute child lists (the property scans the doc otherwise, which
-    is O(n²) over page-sized docs)."""
+    """Precompute child/left/right lists (the properties scan the doc
+    otherwise, which is O(n²) over page-sized docs; the extractor reads
+    ``rights`` ~10k times per 60 docs)."""
     for t in doc:
         t._children = []
     for t in doc:
         if t.head_i != t.i:
             doc[t.head_i]._children.append(t)
+    for t in doc:
+        t._lefts = [c for c in t._children if c.i < t.i]
+        t._rights = [c for c in t._children if c.i > t.i]
 
 
 def sent_from_spec(spec: Iterable[tuple]) -> Sent:

@@ -104,3 +104,44 @@ def fingerprints(documents: DataFrame) -> DataFrame:
         F.md5(normed).alias("fp_md5"),
         hash64(normed).alias("fp_h64"),
     )
+
+
+def ngram_topk(documents: DataFrame, n: int = 2, k: int = 20) -> DataFrame:
+    """Corpus-wide top-k word n-grams with counts — the standard corpus-
+    composition / contamination probe.  Shuffle-aware: explode produces
+    (ngram, 1) rows whose groupBy aggregates map-side (partial counts)
+    before the single shuffle on the n-gram key; the top-k is a total-order
+    sort of the (tiny) aggregate, not of the raw rows.  Ties broken by
+    n-gram text for determinism."""
+    grams = F.expr(
+        f"transform(sequence(1, greatest(size(split(trim(regexp_replace("
+        f"lower(text), '\\\\s+', ' ')), ' ')) - {n - 1}, 1)), "
+        f"i -> concat_ws(' ', slice(split(trim(regexp_replace(lower(text), "
+        f"'\\\\s+', ' ')), ' '), i, {n})))")
+    return (documents
+            .filter(F.col("text").isNotNull())
+            .select(F.explode(grams).alias("ngram"))
+            .groupBy("ngram")
+            .agg(F.count("*").alias("n_occurrences"))
+            .orderBy(F.desc("n_occurrences"), F.asc("ngram"))
+            .limit(k))
+
+
+def length_histogram(documents: DataFrame,
+                     bucket_width: int = 500) -> DataFrame:
+    """Document-length distribution in fixed-width buckets (the first
+    filter-design plot of any corpus curation pass).  One narrow map +
+    one tiny groupBy — no data leaves the scan shape."""
+    bucket = (F.floor(F.length("text") / bucket_width)
+              .cast("bigint").alias("bucket"))
+    return (documents
+            .select(bucket,
+                    F.length("text").alias("len"))
+            .groupBy("bucket")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("len").alias("min_len"),
+                 F.max("len").alias("max_len"))
+            .select(F.col("bucket"),
+                    (F.col("bucket") * bucket_width).alias("bucket_lo"),
+                    "n_docs", "min_len", "max_len")
+            .orderBy("bucket"))

@@ -228,6 +228,14 @@ def docs_fingerprints(spark, sf_dir):
         _t(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
+def docs_ngram_topk(spark, sf_dir):
+    return textstats.ngram_topk(_t(spark, sf_dir, "documents"))
+
+
+def docs_length_histogram(spark, sf_dir):
+    return textstats.length_histogram(_t(spark, sf_dir, "documents"))
+
+
 def docs_source_composition(spark, sf_dir):
     """Corpus-composition report per (source, lang): the standard first
     look at a training-data crawl (doc counts, volume, mean length)."""
@@ -358,6 +366,8 @@ QUERIES: Dict[str, Callable] = {
     "docs_quality": docs_quality,
     "docs_lang_id": docs_lang_id,
     "docs_fingerprints": docs_fingerprints,
+    "docs_ngram_topk": docs_ngram_topk,
+    "docs_length_histogram": docs_length_histogram,
     "dedup_exact": dedup_exact,
     "dedup_minhash_signatures": dedup_minhash_signatures,
     "dedup_minhash_pairs": dedup_minhash_pairs,
@@ -699,6 +709,24 @@ ORACLES: Dict[str, str] = {
         select doc_id, md5({_NORM}) as fp_md5,
                {_H64.format(x=_NORM)} as fp_h64
         from documents order by doc_id""",
+    "docs_ngram_topk": f"""
+        with g as (
+          select array_to_string(
+                   string_split({_NORM}, ' ')[ix.i:ix.i+1], ' ') as ngram
+          from documents, lateral (
+            select unnest(range(1, greatest(
+              len(string_split({_NORM}, ' ')) - 1, 1) + 1)) as i) ix
+          where text is not null)
+        select ngram, count(*) as n_occurrences
+        from g group by ngram
+        order by n_occurrences desc, ngram limit 20""",
+    "docs_length_histogram": """
+        select cast(floor(length(text) / 500) as bigint) as bucket,
+               cast(floor(length(text) / 500) * 500 as bigint) as bucket_lo,
+               count(*) as n_docs,
+               cast(min(length(text)) as int) as min_len,
+               cast(max(length(text)) as int) as max_len
+        from documents group by 1, 2 order by bucket""",
     "dedup_exact": f"""
         select md5({_NORM}) as text_hash, min(doc_id) as keep_doc_id,
                count(*) as n_copies

@@ -277,6 +277,16 @@ def dedup_ngram_jaccard(spark, sf_dir):
         _t(spark, sf_dir, "documents"), threshold=0.2).orderBy("a", "b")
 
 
+def dedup_clusters(spark, sf_dir):
+    """Connected components over the jaccard-verified near-dup pair graph
+    — the dedup twin of the KG's entity canonicalization, and the one
+    catalog entry that gives the union-find/min-label machinery a
+    value-level DuckDB oracle (recursive CTE)."""
+    return dedup.neardup_clusters(
+        _t(spark, sf_dir, "documents"),
+        threshold=0.2).orderBy("doc_id")
+
+
 def ann_cosine_topk(spark, sf_dir):
     return similarity.cosine_topk(
         _t(spark, sf_dir, "embeddings")).orderBy("query_id", "rank")
@@ -374,6 +384,7 @@ QUERIES: Dict[str, Callable] = {
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_clusters": dedup_clusters,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "emb_neardup_pairs": emb_neardup_pairs,
@@ -522,6 +533,24 @@ def _ngram_jaccard_sql() -> str:
         " sb.doc_id = b"
         " where cast(len(list_intersect(sa.sh, sb.sh)) as double) /"
         " len(list_distinct(sa.sh || sb.sh)) >= 0.2 order by a, b")
+
+
+def _neardup_clusters_sql() -> str:
+    """DuckDB twin of ``dedup.neardup_clusters``: connected components as
+    a recursive min-reachable-id CTE over the jaccard-verified pair graph
+    (component minimum == min over ids that can reach the node)."""
+    return (
+        "with recursive jp as (select a, b from ("
+        + _ngram_jaccard_sql() + ")), "
+        "edges(a, b) as (select a, b from jp union select b, a from jp), "
+        "reach(n, r) as ("
+        " select a, a from edges"
+        " union"
+        " select e.b, reach.r from reach join edges e on e.a = reach.n), "
+        "canon as (select n as doc_id, min(r) as canon_id from reach"
+        " group by n) "
+        "select doc_id, canon_id, cast(count(*) over (partition by"
+        " canon_id) as bigint) as cluster_size from canon order by doc_id")
 
 
 def _srp_bucket_sql(n_planes: int) -> str:
@@ -737,6 +766,7 @@ ORACLES: Dict[str, str] = {
     "dedup_simhash": _simhash_sql(),
     "dedup_simhash_pairs": _simhash_pairs_sql(),
     "dedup_ngram_jaccard": _ngram_jaccard_sql(),
+    "dedup_clusters": _neardup_clusters_sql(),
     "ann_cosine_topk": _ann_cosine_sql(),
     "ann_lsh_topk": _ann_lsh_sql(),
     "emb_neardup_pairs": _emb_neardup_sql(),

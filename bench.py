@@ -89,8 +89,15 @@ def main() -> None:
     kg_secs, n_triples = None, 0
     for _ in range(max(trials, 1)):
         spark.catalog.clearCache()
-        pages = synth.synthesize_pages(spark, n_docs,
-                                       partitions=max(CPUS * 2, 16))
+        # ~4 tasks per core: the per-doc UDF cost varies enough that 2
+        # waves of long tasks quantize badly (measured: 16 partitions at
+        # local[8] = 2.2x over local[2]; 64 partitions = 3.0x, at the
+        # box's 3.43x pure-CPU ceiling).  Same rule as sizing input splits
+        # on a real cluster: aim for seconds-long tasks, several waves.
+        pages = synth.synthesize_pages(
+            spark, n_docs,
+            partitions=int(os.environ.get("SPARK_GRAFT_BENCH_PARTS",
+                                          str(max(CPUS * 4, 64)))))
         t0 = time.perf_counter()
         n_triples = run_pipeline(pages).triples.count()
         secs = time.perf_counter() - t0

@@ -29,7 +29,21 @@ def run_checkpointed(spark: SparkSession, pages: DataFrame,
         return cat.write(name, build(), partition_by=partition_by,
                          bucket_url=bucket_url)
 
-    nodes = stage("nodes", lambda: parse_pages(pages), bucket_url="url")
+    # the durable node/edge tables are partitioned by (lang, bucket(url))
+    # — the Iceberg layout of the production design.  `lang` rides along
+    # from the pages table via a url-keyed metadata join at write time
+    # (column pruning keeps it out of every compute stage); partition
+    # pruning then serves per-language reads without a full scan.
+    lang_by_url = (pages.select("url", "lang")
+                   if "lang" in pages.columns else None)
+    lang_cols = ("lang",) if lang_by_url is not None else ()
+
+    def with_lang(df: DataFrame) -> DataFrame:
+        return (df.join(lang_by_url, "url", "left")
+                if lang_by_url is not None else df)
+
+    nodes = stage("nodes", lambda: with_lang(parse_pages(pages)),
+                  partition_by=lang_cols, bucket_url="url")
     quals = stage("qualifiers", lambda: build_qualifiers(nodes))
     resolved = stage("resolved", lambda: resolve_targets(quals, nodes))
     wide = stage("graph_rows",
@@ -43,6 +57,7 @@ def run_checkpointed(spark: SparkSession, pages: DataFrame,
                                          nodes)
         canon = kg_ops.connected_components(pairs)
         final_edges = kg_ops.apply_merges(kn, ke, canon)
-        return kg_ops.make_triples(final_edges, kn, canon, nodes)
+        return with_lang(kg_ops.make_triples(final_edges, kn, canon, nodes))
 
-    return stage("triples", build_triples)
+    return stage("triples", build_triples,
+                 partition_by=lang_cols, bucket_url="url")

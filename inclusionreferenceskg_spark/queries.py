@@ -247,6 +247,32 @@ def docs_source_composition(spark, sf_dir):
             .orderBy("source", "lang"))
 
 
+def corpus_curated(spark, sf_dir):
+    """The composed training-data curation funnel: language filter +
+    quality floor + exact-dup keep-list + near-dup-cluster canonical-only.
+    Each stage is an already-oracled operator; the composition itself gets
+    a full value-level oracle.  At 100 TB every stage is a narrow
+    projection or a key-partitioned join — no stage widens the data."""
+    docs = _t(spark, sf_dir, "documents")
+    lang = textstats.lang_id(docs).select("doc_id", "lang_guess")
+    qual = textstats.quality_scores(docs).select("doc_id", "quality_score")
+    keep = (dedup.exact_duplicates(docs)
+            .select(F.col("keep_doc_id").alias("doc_id")))
+    clus = (dedup.neardup_clusters(docs, threshold=0.2)
+            .select("doc_id", "canon_id"))
+    return (docs.select("doc_id")
+            .join(lang, "doc_id")
+            .join(qual, "doc_id")
+            .filter((F.col("lang_guess") == "en")
+                    & (F.col("quality_score") >= 0.5))
+            .join(keep, "doc_id", "left_semi")
+            .join(clus, "doc_id", "left")
+            .filter(F.col("canon_id").isNull()
+                    | (F.col("canon_id") == F.col("doc_id")))
+            .select("doc_id", "lang_guess", "quality_score")
+            .orderBy("doc_id"))
+
+
 def dedup_exact(spark, sf_dir):
     return dedup.exact_duplicates(
         _t(spark, sf_dir, "documents")).orderBy("text_hash")
@@ -378,6 +404,7 @@ QUERIES: Dict[str, Callable] = {
     "docs_fingerprints": docs_fingerprints,
     "docs_ngram_topk": docs_ngram_topk,
     "docs_length_histogram": docs_length_histogram,
+    "corpus_curated": corpus_curated,
     "dedup_exact": dedup_exact,
     "dedup_minhash_signatures": dedup_minhash_signatures,
     "dedup_minhash_pairs": dedup_minhash_pairs,
@@ -800,3 +827,19 @@ def _lang_id_sql() -> str:
 
 
 ORACLES["docs_lang_id"] = _lang_id_sql()
+
+ORACLES["corpus_curated"] = (
+    "with lang as (select doc_id, lang_guess from (" + _lang_id_sql()
+    + ")), qual as (select doc_id, quality_score from ("
+    + ORACLES["docs_quality"] + ")), "
+    f"keep as (select min(doc_id) as doc_id from documents "
+    f"group by md5({_NORM})), "
+    "clus as (select doc_id, canon_id from ("
+    + _neardup_clusters_sql() + ")) "
+    "select d.doc_id, lang.lang_guess, qual.quality_score "
+    "from documents d join lang using(doc_id) join qual using(doc_id) "
+    "left join clus on clus.doc_id = d.doc_id "
+    "where lang.lang_guess = 'en' and qual.quality_score >= 0.5 "
+    "and d.doc_id in (select doc_id from keep) "
+    "and (clus.doc_id is null or clus.canon_id = d.doc_id) "
+    "order by d.doc_id")

@@ -93,11 +93,15 @@ def main() -> None:
         # waves of long tasks quantize badly (measured: 16 partitions at
         # local[8] = 2.2x over local[2]; 64 partitions = 3.0x, at the
         # box's 3.43x pure-CPU ceiling).  Same rule as sizing input splits
-        # on a real cluster: aim for seconds-long tasks, several waves.
+        # on a real cluster: aim for seconds-long tasks, several waves —
+        # but keep >=64 docs/task: at local[32] x 5000 docs, 128 partitions
+        # (39 docs/task) measured 43% slower than 64 (per-task Arrow/
+        # scheduling overhead dominates short tasks).
+        default_parts = max(min(max(CPUS * 4, 64), max(n_docs // 64, 8)), 8)
         pages = synth.synthesize_pages(
             spark, n_docs,
             partitions=int(os.environ.get("SPARK_GRAFT_BENCH_PARTS",
-                                          str(max(CPUS * 4, 64)))))
+                                          str(default_parts))))
         t0 = time.perf_counter()
         n_triples = run_pipeline(pages).triples.count()
         secs = time.perf_counter() - t0

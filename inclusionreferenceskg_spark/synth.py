@@ -166,11 +166,13 @@ def pages_from_documents(documents: DataFrame, seed: int = 42) -> DataFrame:
     # downstream per-page UDF work across the cluster before generating.
     # ~4 tasks per core (not 1): per-page UDF cost varies, and one wave of
     # long tasks quantizes badly — measured 2.2x -> 3.0x two-level speedup
-    # from finer granularity.  Capped so tiny inputs keep >=8 docs/task.
+    # from finer granularity.  Floor of ~64 docs/task: shorter tasks pay
+    # more in Arrow/scheduling overhead than they gain in wave smoothing
+    # (128 parts for 5000 docs at local[32] measured 43% slower than 64).
     spark = documents.sparkSession
     par = spark.sparkContext.defaultParallelism
     documents = documents.repartition(
-        max(min(par * 4, n_docs // 8 + 1), 8), "doc_id")
+        max(min(par * 4, max(n_docs // 64, 1)), 8), "doc_id")
 
     def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -124,6 +124,101 @@ def html_to_text(pages: DataFrame, binary_col: str = "html") -> DataFrame:
     return pages.select("url", text.alias("extracted_text"))
 
 
+VIDEO_FRAME = T.StructType([
+    T.StructField("url", T.StringType(), False),
+    T.StructField("n_bytes", T.IntegerType(), False),
+    T.StructField("duration_ms", T.IntegerType(), False),
+    T.StructField("width", T.IntegerType(), False),
+    T.StructField("height", T.IntegerType(), False),
+    T.StructField("frame_idx", T.IntegerType(), False),
+    T.StructField("ts_ms", T.IntegerType(), False),
+    T.StructField("frame_sha256", T.StringType(), False),
+])
+
+
+def _probe_video(payload: bytes):
+    """Container/stream probe for one video payload.
+
+    A real build would ffprobe the container; in this sandbox the stream
+    properties are derived deterministically from the payload hash so the
+    plumbing (schema, fan-out row shape, batch behavior) is fully testable
+    and oracle-checkable."""
+    digest = hashlib.sha256(payload or b"").hexdigest()
+    duration_ms = 1000 + int(digest[:4], 16)
+    width = 320 + int(digest[4:6], 16)
+    height = 240 + int(digest[6:8], 16)
+    return digest, duration_ms, width, height
+
+
+def frame_sample(videos: DataFrame, binary_col: str = "html",
+                 n_frames: int = 4) -> DataFrame:
+    """Uniform frame sampling over an opaque video column: one output row
+    per sampled frame (Arrow-batched ``mapInPandas``, 1→n_frames fan-out
+    inside the Python worker — bytes are shipped once per batch and the
+    emitted rows carry only metadata + a frame digest, never pixels).
+    The frame decode itself is the swap-point: with a codec present,
+    ``frame_sha256`` would hash the decoded frame; here it hashes the
+    (payload digest, frame index) pair, keeping the row contract live."""
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, payload in zip(pdf["url"], pdf[binary_col]):
+                blob = bytes(payload) if payload is not None else b""
+                digest, duration_ms, width, height = _probe_video(blob)
+                for i in range(n_frames):
+                    ts_ms = i * duration_ms // n_frames
+                    fhash = hashlib.sha256(
+                        f"{digest}:{i}".encode()).hexdigest()
+                    rows.append((url, len(blob), duration_ms, width,
+                                 height, i, ts_ms, fhash))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in VIDEO_FRAME.fields])
+
+    return videos.select("url", binary_col).mapInPandas(run, VIDEO_FRAME)
+
+
+AUDIO_CHUNK = T.StructType([
+    T.StructField("url", T.StringType(), False),
+    T.StructField("n_bytes", T.IntegerType(), False),
+    T.StructField("sample_rate", T.IntegerType(), False),
+    T.StructField("duration_ms", T.IntegerType(), False),
+    T.StructField("chunk_idx", T.IntegerType(), False),
+    T.StructField("start_ms", T.IntegerType(), False),
+    T.StructField("end_ms", T.IntegerType(), False),
+    T.StructField("chunk_sha256", T.StringType(), False),
+])
+
+
+def audio_chunks(audio: DataFrame, binary_col: str = "html",
+                 chunk_ms: int = 1000) -> DataFrame:
+    """Fixed-window chunking over an opaque audio column: one row per
+    ``chunk_ms`` window (Arrow-batched ``mapInPandas``).  Stream properties
+    come from the same deterministic hash probe as ``frame_sample``; a real
+    build swaps the probe for a decoder and hashes the resampled window."""
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, payload in zip(pdf["url"], pdf[binary_col]):
+                blob = bytes(payload) if payload is not None else b""
+                digest = hashlib.sha256(blob or b"").hexdigest()
+                sample_rate = 8000 * (1 + int(digest[8:9], 16) % 4)
+                duration_ms = 500 + int(digest[9:13], 16)
+                n_chunks = -(-duration_ms // chunk_ms)
+                for i in range(n_chunks):
+                    chash = hashlib.sha256(
+                        f"{digest}#{i}".encode()).hexdigest()
+                    rows.append((url, len(blob), sample_rate, duration_ms,
+                                 i, i * chunk_ms,
+                                 min((i + 1) * chunk_ms, duration_ms),
+                                 chash))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_CHUNK.fields])
+
+    return audio.select("url", binary_col).mapInPandas(run, AUDIO_CHUNK)
+
+
 def binary_stats(pages: DataFrame, binary_col: str = "html") -> DataFrame:
     """Pure-JVM metadata over a binary column (no Python at all)."""
     return pages.select(

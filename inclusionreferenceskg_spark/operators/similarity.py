@@ -5,10 +5,16 @@
   higher-order array functions (no Python, no UDF);
 * LSH-bucketed ANN — the scale path: deterministic signed-random-projection
   hyperplanes derived from the portable md5 hash (no RNG, resumable),
-  bucket join + rerank inside buckets only.
+  bucket join + rerank inside buckets only;
+* IVF ANN — the data-adaptive scale path: a deterministic centroid sample
+  partitions the corpus into cells (argmax cosine, computed entirely inside
+  codegen against one broadcast centroid array — zero shuffle on the big
+  side), queries probe their ``n_probe`` nearest cells and rerank only
+  there.
 
-At 10^12 rows the brute force is per-query O(n); the LSH variant shuffles
-once on bucket keys and reranks O(bucket) — the standard IVF/LSH trade.
+At 10^12 rows the brute force is per-query O(n); the LSH/IVF variants
+shuffle once on bucket/cell keys and rerank O(bucket) — the standard
+IVF/LSH trade.
 """
 
 from __future__ import annotations
@@ -125,6 +131,105 @@ def ann_lsh_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 5,
                        F.col("bucket")))
     joined = (_cap_buckets(bucketed, max_bucket)
               .join(F.broadcast(queries), "bucket")
+              .filter(F.col("vec_id") != F.col("query_id"))
+              .withColumn("cosine",
+                          _dot("q", "embedding")
+                          / (_norm("q") * _norm("embedding"))))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id"))
+    return (joined.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "vec_id",
+                    F.round("cosine", 4).alias("cosine")))
+
+
+def ivf_centroids(embeddings: DataFrame, n_cells: int) -> DataFrame:
+    """Deterministic centroid sample: the ``n_cells`` vectors with the
+    smallest ``md5(vec_id)`` — a portable, RNG-free stand-in for a k-means
+    sample (same role as the reference-free SRP hyperplanes above).
+    ``orderBy().limit()`` compiles to TakeOrdered (per-partition top-K +
+    driver merge of K·parts rows), so centroid selection never sorts the
+    corpus; the row_number window then runs on the K-row result only."""
+    sampled = (embeddings
+               .select("vec_id", "embedding",
+                       F.md5(F.col("vec_id").cast("string")).alias("h"))
+               .orderBy("h", "vec_id")
+               .limit(n_cells))
+    w = Window.orderBy("h", "vec_id")
+    return (sampled
+            .withColumn("cell_id", F.row_number().over(w) - 1)
+            .select("cell_id", F.col("embedding").alias("c")))
+
+
+#: per-centroid cosine scores as an array<struct<cos,negcell>> — evaluated
+#: against the single broadcast ``cents`` array so cell assignment is pure
+#: projection (whole-stage codegen, zero shuffle).  ``negcell`` makes the
+#: lexicographic array_max tie-break toward the SMALLEST cell id, matching
+#: the oracle's ``order by cos desc, cell_id asc``.
+_SCORED_CELLS = (
+    "transform(cents, ct -> named_struct("
+    "'cos', aggregate(zip_with(embedding, ct.c, (x, y) -> x * y), "
+    "cast(0 as double), (acc, v) -> acc + v) / "
+    "(sqrt(aggregate(embedding, cast(0 as double), "
+    "(acc, v) -> acc + v * v)) * "
+    "sqrt(aggregate(ct.c, cast(0 as double), (acc, v) -> acc + v * v))), "
+    "'negcell', -ct.cell_id))")
+
+
+def ivf_assign(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Assign every vector to its nearest centroid by cosine.
+
+    The centroid table is collapsed to a one-row array and broadcast; the
+    argmax runs as ``array_max(transform(...))`` inside codegen, so the
+    corpus side needs no shuffle, no window, and no groupBy — the only
+    cost at 10^12 rows is the O(K) per-row score loop, which is the
+    irreducible IVF assignment work."""
+    cents_row = centroids.agg(F.collect_list(
+        F.struct("cell_id", "c")).alias("cents"))
+    return (embeddings.join(F.broadcast(cents_row))
+            .withColumn("best", F.array_max(F.expr(_SCORED_CELLS)))
+            .select("vec_id", "embedding",
+                    (-F.col("best.negcell")).alias("cell_id")))
+
+
+def ivf_probes(embeddings: DataFrame, centroids: DataFrame,
+               n_queries: int, n_probe: int) -> DataFrame:
+    """Each query's ``n_probe`` nearest cells: sort the per-centroid score
+    array descending (reverse of the ascending lexicographic sort — ties
+    fall to the smaller cell id, as in assignment) and explode the head."""
+    cents_row = centroids.agg(F.collect_list(
+        F.struct("cell_id", "c")).alias("cents"))
+    return (embeddings
+            .filter(F.col("vec_id") < n_queries)
+            .join(F.broadcast(cents_row))
+            .withColumn("s", F.explode(F.expr(
+                f"slice(reverse(array_sort({_SCORED_CELLS})), 1, "
+                f"{int(n_probe)})")))
+            .select(F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("q"),
+                    (-F.col("s.negcell")).alias("cell_id")))
+
+
+def ann_ivf_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 5,
+                 n_cells: int = 16, n_probe: int = 3,
+                 max_cell: Optional[int] = 100_000) -> DataFrame:
+    """IVF approximate top-k: candidates restricted to the query's
+    ``n_probe`` nearest centroid cells, exact cosine rerank inside them.
+
+    Every vector lives in exactly one cell, so multi-probe never produces
+    duplicate candidates and needs no distinct.  Cells above ``max_cell``
+    are dropped from the CANDIDATE side only (the hot-cell guard mirrored
+    from the LSH/minhash caps); queries keep probing regardless, so an
+    oversize cell degrades recall instead of exploding the rerank."""
+    cents = ivf_centroids(embeddings, n_cells)
+    assigned = ivf_assign(embeddings, cents)
+    if max_cell is not None:
+        sized = assigned.withColumn(
+            "cell_size", F.count("*").over(Window.partitionBy("cell_id")))
+        assigned = sized.filter(
+            F.col("cell_size") <= max_cell).drop("cell_size")
+    probes = ivf_probes(embeddings, cents, n_queries, n_probe)
+    joined = (assigned.join(F.broadcast(probes), "cell_id")
               .filter(F.col("vec_id") != F.col("query_id"))
               .withColumn("cosine",
                           _dot("q", "embedding")

@@ -323,6 +323,11 @@ def ann_lsh_topk(spark, sf_dir):
         _t(spark, sf_dir, "embeddings")).orderBy("query_id", "rank")
 
 
+def ann_ivf_topk(spark, sf_dir):
+    return similarity.ann_ivf_topk(
+        _t(spark, sf_dir, "embeddings")).orderBy("query_id", "rank")
+
+
 def emb_neardup_pairs(spark, sf_dir):
     return similarity.embedding_neardup_pairs(
         _t(spark, sf_dir, "embeddings"), threshold=0.9).orderBy("a", "b")
@@ -342,6 +347,31 @@ def multimodal_image_meta(spark, sf_dir):
         F.encode(F.coalesce("text", F.lit("")), "UTF-8").alias("payload"))
     return multimodal.image_metadata(pages, binary_col="payload").select(
         "url", "n_bytes", "sha256", "width", "height").orderBy("url")
+
+
+def _doc_payload(spark, sf_dir):
+    """documents.text as a deterministic opaque binary payload (the
+    testdata carries no real media column; DuckDB mirrors the derivation,
+    so the multimodal plumbing gets value-level oracles)."""
+    return _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.encode(F.coalesce("text", F.lit("")), "UTF-8").alias("payload"))
+
+
+def multimodal_frame_sample(spark, sf_dir):
+    """Video frame-sample plumbing: 1→n_frames fan-out per payload inside
+    the Arrow batch; stream properties and frame digests are derived from
+    the payload hash (deterministic probe — see operators/multimodal.py)."""
+    return multimodal.frame_sample(
+        _doc_payload(spark, sf_dir), binary_col="payload",
+        n_frames=4).orderBy("url", "frame_idx")
+
+
+def multimodal_audio_chunks(spark, sf_dir):
+    """Audio chunk plumbing: one row per 1000 ms window per payload."""
+    return multimodal.audio_chunks(
+        _doc_payload(spark, sf_dir), binary_col="payload",
+        chunk_ms=1000).orderBy("url", "chunk_idx")
 
 
 # ------------------------------------------------------------- KG pipeline
@@ -414,8 +444,11 @@ QUERIES: Dict[str, Callable] = {
     "dedup_clusters": dedup_clusters,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_ivf_topk": ann_ivf_topk,
     "emb_neardup_pairs": emb_neardup_pairs,
     "multimodal_image_meta": multimodal_image_meta,
+    "multimodal_frame_sample": multimodal_frame_sample,
+    "multimodal_audio_chunks": multimodal_audio_chunks,
     "kg_nodes": kg_nodes,
     "kg_extracted_text": kg_extracted_text,
     "kg_mentions": kg_mentions,
@@ -625,6 +658,44 @@ def _ann_lsh_sql() -> str:
         " where rank <= 5 order by query_id, rank")
 
 
+def _ann_ivf_sql(n_cells: int = 16, n_probe: int = 3, n_queries: int = 5,
+                 k: int = 5, max_cell: int = 100_000) -> str:
+    """DuckDB twin of ``similarity.ann_ivf_topk``: identical centroid
+    sample (smallest md5(vec_id)), argmax-cosine assignment with the same
+    (cos desc, cell_id asc) tie-break, multi-probe, in-cell rerank."""
+    cos = ("list_dot_product({a}, {b}) /"
+           " (sqrt(list_dot_product({a}, {a})) *"
+           " sqrt(list_dot_product({b}, {b})))")
+    cell_cos = cos.format(a="e.embedding", b="c.c")
+    rerank_cos = cos.format(a="p.q", b="a.embedding")
+    return (
+        "with sampled as (select vec_id, embedding,"
+        " md5(cast(vec_id as varchar)) as h from embeddings"
+        f" order by h, vec_id limit {n_cells}),"
+        " cents as (select row_number() over (order by h, vec_id) - 1"
+        " as cell_id, embedding as c from sampled),"
+        " scored_all as (select e.vec_id, e.embedding, c.cell_id,"
+        f" {cell_cos} as cos,"
+        " row_number() over (partition by e.vec_id"
+        " order by"
+        f" {cell_cos} desc, c.cell_id asc) as rn"
+        " from embeddings e cross join cents c),"
+        " assigned as (select vec_id, embedding, cell_id from scored_all"
+        " where rn = 1"
+        f" qualify count(*) over (partition by cell_id) <= {max_cell}),"
+        " probes as (select vec_id as query_id, embedding as q, cell_id"
+        f" from scored_all where vec_id < {n_queries} and rn <= {n_probe}),"
+        " scored as (select p.query_id, a.vec_id,"
+        f" {rerank_cos} as cos"
+        " from assigned a join probes p on a.cell_id = p.cell_id"
+        " and a.vec_id != p.query_id),"
+        " ranked as (select query_id, vec_id, cos, row_number() over"
+        " (partition by query_id order by cos desc, vec_id asc) as rank"
+        " from scored)"
+        " select query_id, rank, vec_id, round(cos, 4) as cosine"
+        f" from ranked where rank <= {k} order by query_id, rank")
+
+
 def _emb_neardup_sql() -> str:
     sig = _srp_bucket_sql(6)
     return (
@@ -796,6 +867,7 @@ ORACLES: Dict[str, str] = {
     "dedup_clusters": _neardup_clusters_sql(),
     "ann_cosine_topk": _ann_cosine_sql(),
     "ann_lsh_topk": _ann_lsh_sql(),
+    "ann_ivf_topk": _ann_ivf_sql(),
     "emb_neardup_pairs": _emb_neardup_sql(),
     "multimodal_image_meta": """
         with p as (select cast(doc_id as varchar) as url,
@@ -807,6 +879,47 @@ ORACLES: Dict[str, str] = {
                cast(64 + ('0x' || substr(digest, 1, 2))::int as int) as width,
                cast(64 + ('0x' || substr(digest, 3, 2))::int as int) as height
         from p order by url""",
+    "multimodal_frame_sample": """
+        with p as (select cast(doc_id as varchar) as url,
+                          sha256(coalesce(text, '')) as digest,
+                          cast(octet_length(encode(coalesce(text, '')))
+                              as int) as n_bytes
+                   from documents),
+             probed as (select url, n_bytes, digest,
+                    cast(1000 + ('0x' || substr(digest, 1, 4))::int
+                        as int) as duration_ms,
+                    cast(320 + ('0x' || substr(digest, 5, 2))::int
+                        as int) as width,
+                    cast(240 + ('0x' || substr(digest, 7, 2))::int
+                        as int) as height
+                    from p)
+        select url, n_bytes, duration_ms, width, height,
+               cast(f.i as int) as frame_idx,
+               cast(f.i * duration_ms // 4 as int) as ts_ms,
+               sha256(digest || ':' || cast(f.i as varchar)) as frame_sha256
+        from probed cross join (select unnest(generate_series(0, 3)) as i) f
+        order by url, frame_idx""",
+    "multimodal_audio_chunks": """
+        with p as (select cast(doc_id as varchar) as url,
+                          sha256(coalesce(text, '')) as digest,
+                          cast(octet_length(encode(coalesce(text, '')))
+                              as int) as n_bytes
+                   from documents),
+             probed as (select url, n_bytes, digest,
+                    cast(8000 * (1 + ('0x' || substr(digest, 9, 1))::int % 4)
+                        as int) as sample_rate,
+                    cast(500 + ('0x' || substr(digest, 10, 4))::int
+                        as int) as duration_ms
+                    from p)
+        select url, n_bytes, sample_rate, duration_ms,
+               cast(c.i as int) as chunk_idx,
+               cast(c.i * 1000 as int) as start_ms,
+               cast(least((c.i + 1) * 1000, duration_ms) as int) as end_ms,
+               sha256(digest || '#' || cast(c.i as varchar)) as chunk_sha256
+        from probed cross join lateral
+             (select unnest(generate_series(
+                  0, cast(ceil(duration_ms / 1000.0) as int) - 1)) as i) c
+        order by url, chunk_idx""",
 }
 
 

@@ -50,3 +50,22 @@ def test_neardup_clusters_distributed_matches_driver(spark):
     key = lambda r: (r.doc_id, r.canon_id, r.cluster_size)  # noqa: E731
     assert sorted(map(key, drv)) == sorted(map(key, dist))
     assert len(drv) > 0
+
+def test_ivf_partition_and_full_probe_exactness(spark):
+    """IVF invariants: every vector lands in exactly one cell, and probing
+    ALL cells recovers the brute-force ranking exactly (multi-probe never
+    duplicates candidates because assignment is a partition)."""
+    from inclusionreferenceskg_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    cents = similarity.ivf_centroids(emb, 8)
+    assigned = similarity.ivf_assign(emb, cents)
+    assert assigned.count() == n
+    assert assigned.select("vec_id").distinct().count() == n
+    assert assigned.select("cell_id").distinct().count() <= 8
+
+    exact = similarity.cosine_topk(emb, n_queries=3, k=5).collect()
+    full_probe = similarity.ann_ivf_topk(
+        emb, n_queries=3, k=5, n_cells=8, n_probe=8).collect()
+    assert sorted(map(tuple, full_probe)) == sorted(map(tuple, exact))

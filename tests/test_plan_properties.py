@@ -22,8 +22,10 @@ import __spark_entry__ as entry_mod
 SF_DIR = "/root/testdata/sf0.001"
 
 #: queries whose plan may contain a BroadcastNestedLoopJoin: the broadcast
-#: side is a bounded query set (n_queries literals), not table-sized data
-_BNLJ_ALLOWED = {"ann_cosine_topk"}
+#: side is bounded by construction — the literal top-k query set
+#: (ann_cosine_topk) or the one-row collapsed centroid array whose width is
+#: the n_cells parameter (ann_ivf_topk) — never table-sized data
+_BNLJ_ALLOWED = {"ann_cosine_topk", "ann_ivf_topk"}
 
 #: kg_* queries run the pipeline (mapInPandas heavy); their plan audit is
 #: the pipeline's own (localCheckpoint lineage makes explain uninformative)
@@ -76,8 +78,8 @@ def test_no_driver_job_at_plan_build(spark):
 
     baseline = jobs_for(
         lambda: spark.read.parquet(f"{SF_DIR}/embeddings.parquet"))
-    for name in ("ann_lsh_topk", "emb_neardup_pairs", "ann_cosine_topk",
-                 "dedup_minhash_pairs"):
+    for name in ("ann_lsh_topk", "ann_ivf_topk", "emb_neardup_pairs",
+                 "ann_cosine_topk", "dedup_minhash_pairs"):
         added = jobs_for(
             lambda: entry_mod.queries()[name](spark, SF_DIR))
         assert added <= baseline, (name, added, baseline)

@@ -1,0 +1,161 @@
+"""Training-data curation operators: PII detection/redaction, Gopher-style
+repetition/quality filters, benchmark decontamination, and deterministic
+stratified sampling.
+
+These are the standard curation stages a web-scale (Common-Crawl-style)
+training-data pipeline runs between raw ingest and tokenization — the
+reference repo has no analog (it is a per-document KG pipeline), so the
+semantics here follow the published recipes (Gopher / Rae et al. 2021
+repetition filters; GPT-3 appendix-C style 13-gram decontamination) rather
+than any reference file.
+
+All four operators are JVM-only (built-in ``pyspark.sql.functions``, no
+Python in the hot path) and each has a direct DuckDB oracle twin in
+``queries.py``.  Scale notes per operator:
+
+* ``pii_stats`` / ``gopher_quality`` — narrow per-row maps inside
+  whole-stage codegen; no shuffle, trivially linear at 100 TB.
+* ``decontaminate`` — the benchmark side is *bounded by construction*
+  (benchmark suites are a few MB), so broadcasting its distinct gram
+  hashes is the correct plan at any corpus size; the corpus side is a
+  narrow explode + map-side-combinable count.
+* ``stratified_sample`` — one shuffle on the (stratum) key with a
+  row_number cutoff; per-stratum order is a uniform md5 so the sample is
+  deterministic and reproducible across runs/cluster sizes.  At extreme
+  per-stratum cardinality swap the window for a per-partition top-K
+  (``F.max_by``-style reservoir) — noted, not needed at catalog K.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .textstats import WORD_RE, hash64, norm_text
+
+#: PII patterns — kept RE2-compatible (no lookaround, no backrefs) so the
+#: DuckDB oracle uses the byte-identical pattern strings.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?\d[\d\- ]{7,}\d"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+#: GPT-3-style decontamination gram size
+DECONTAM_N = 13
+#: deterministic benchmark membership: doc_id % DECONTAM_MOD == 0
+DECONTAM_MOD = 97
+
+
+def _count(col, pattern: str):
+    return F.size(F.regexp_extract_all(col, F.lit(pattern), F.lit(0)))
+
+
+def pii_stats(documents: DataFrame) -> DataFrame:
+    """Per-document PII counts + the md5 of the redacted text.
+
+    Redaction replaces emails, then phone-like digit runs, then IPv4
+    literals with typed placeholders (order matters and the oracle applies
+    the same order).  Emitting the *hash* of the redacted text rather than
+    the text keeps the output narrow while still value-checking the full
+    redaction byte-for-byte.
+    """
+    t = F.col("text")
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, EMAIL_RE, "<EMAIL>"),
+            IPV4_RE, "<IP>"),
+        PHONE_RE, "<PHONE>")
+    n_emails = _count(t, EMAIL_RE)
+    n_ipv4 = _count(t, IPV4_RE)
+    n_phones = _count(F.regexp_replace(t, IPV4_RE, "<IP>"), PHONE_RE)
+    return documents.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        n_ipv4.alias("n_ipv4"),
+        ((n_emails + n_phones + n_ipv4) > 0).cast("int").alias("has_pii"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+def gopher_quality(documents: DataFrame) -> DataFrame:
+    """Gopher-style repetition/quality features + keep flag.
+
+    Features: word count, mean word length, duplicate-line fraction,
+    ellipsis-line fraction.  ``gopher_keep`` applies the published
+    thresholds (50 <= words <= 100k, 3 <= mean word len <= 10,
+    dup-line fraction <= 0.3).
+    """
+    t = F.col("text")
+    lines = F.filter(F.split(t, "\n"), lambda x: F.trim(x) != F.lit(""))
+    n_lines = F.size(lines)
+    n_distinct = F.size(F.array_distinct(lines))
+    dup_frac = F.when(n_lines <= F.lit(0), F.lit(0.0)).otherwise(
+        F.round(1.0 - n_distinct / n_lines, 6))
+    ell_frac = F.when(n_lines <= F.lit(0), F.lit(0.0)).otherwise(
+        F.round(F.size(F.filter(lines, lambda x: x.endswith("...")))
+                / n_lines, 6))
+    n_words = _count(t, WORD_RE)
+    word_chars = F.length(F.regexp_replace(t, r"[^A-Za-z0-9_]", ""))
+    mean_wlen = F.round(word_chars / F.greatest(n_words, F.lit(1)), 6)
+    keep = ((n_words >= 50) & (n_words <= 100000)
+            & (mean_wlen >= 3.0) & (mean_wlen <= 10.0)
+            & (dup_frac <= 0.3)).cast("int")
+    return documents.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wlen.alias("mean_word_len"),
+        dup_frac.alias("dup_line_frac"),
+        ell_frac.alias("ellipsis_line_frac"),
+        keep.alias("gopher_keep"),
+    )
+
+
+def _gram_hashes(n: int):
+    """Column expr: distinct 64-bit hashes of the word n-grams of the
+    normalized text (same slice-truncation semantics as the dedup
+    shingler: docs shorter than n words yield one whole-text gram)."""
+    words = F.split(norm_text(F.col("text")), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1))),
+        lambda i: hash64(F.concat_ws(" ", F.slice(words, i, n))))
+    return F.array_distinct(grams)
+
+
+def decontaminate(documents: DataFrame, n: int = DECONTAM_N,
+                  bench_mod: int = DECONTAM_MOD) -> DataFrame:
+    """Benchmark decontamination: for every corpus document, the number of
+    distinct word n-grams it shares with the benchmark set (docs with
+    ``doc_id % bench_mod == 0`` stand in for an eval suite).  Docs with
+    zero hits are absent — downstream, an anti-join on this output drops
+    contaminated documents.
+
+    The benchmark gram set is broadcast (bounded by construction); the
+    corpus side is a narrow explode followed by a map-side-combinable
+    count — no large shuffle at any corpus size.
+    """
+    is_bench = (F.col("doc_id") % bench_mod) == 0
+    bench_grams = (documents.filter(is_bench)
+                   .filter(F.col("text").isNotNull())
+                   .select(F.explode(_gram_hashes(n)).alias("gram"))
+                   .distinct())
+    corpus = (documents.filter(~is_bench)
+              .filter(F.col("text").isNotNull())
+              .select("doc_id", F.explode(_gram_hashes(n)).alias("gram")))
+    return (corpus.join(F.broadcast(bench_grams), "gram")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_hit_grams"))
+            .orderBy("doc_id"))
+
+
+def stratified_sample(documents: DataFrame,
+                      per_stratum: int = 3) -> DataFrame:
+    """Deterministic stratified sample: the ``per_stratum`` docs with the
+    smallest md5(doc_id) per (source, lang) stratum.  Uniform in
+    expectation, byte-reproducible across runs and cluster sizes (no RNG
+    state), and expressible identically in the DuckDB oracle."""
+    w = (Window.partitionBy("source", "lang")
+         .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id"))
+    return (documents
+            .select("doc_id", "source", "lang",
+                    F.row_number().over(w).alias("rk"))
+            .filter(F.col("rk") <= per_stratum)
+            .orderBy("source", "lang", "rk"))

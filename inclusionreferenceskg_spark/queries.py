@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from inclusionreferenceskg_spark import synth
 from inclusionreferenceskg_spark.operators import (
+    curation,
     dedup,
     multimodal,
     similarity,
@@ -374,6 +375,26 @@ def multimodal_audio_chunks(spark, sf_dir):
         chunk_ms=1000).orderBy("url", "chunk_idx")
 
 
+# -------------------------------------------------------- curation funnel
+
+def docs_pii(spark, sf_dir):
+    return curation.pii_stats(
+        _t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def docs_gopher_quality(spark, sf_dir):
+    return curation.gopher_quality(
+        _t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def docs_decontaminate(spark, sf_dir):
+    return curation.decontaminate(_t(spark, sf_dir, "documents"))
+
+
+def docs_stratified_sample(spark, sf_dir):
+    return curation.stratified_sample(_t(spark, sf_dir, "documents"))
+
+
 # ------------------------------------------------------------- KG pipeline
 
 def kg_nodes(spark, sf_dir):
@@ -435,6 +456,10 @@ QUERIES: Dict[str, Callable] = {
     "docs_ngram_topk": docs_ngram_topk,
     "docs_length_histogram": docs_length_histogram,
     "corpus_curated": corpus_curated,
+    "docs_pii": docs_pii,
+    "docs_gopher_quality": docs_gopher_quality,
+    "docs_decontaminate": docs_decontaminate,
+    "docs_stratified_sample": docs_stratified_sample,
     "dedup_exact": dedup_exact,
     "dedup_minhash_signatures": dedup_minhash_signatures,
     "dedup_minhash_pairs": dedup_minhash_pairs,
@@ -956,3 +981,68 @@ ORACLES["corpus_curated"] = (
     "and d.doc_id in (select doc_id from keep) "
     "and (clus.doc_id is null or clus.canon_id = d.doc_id) "
     "order by d.doc_id")
+
+# curation twins (patterns interpolated from operators/curation.py so both
+# engines compile the byte-identical RE2-compatible regex)
+ORACLES["docs_pii"] = f"""
+    select doc_id,
+           len(regexp_extract_all(text, '{curation.EMAIL_RE}')) as n_emails,
+           len(regexp_extract_all(
+               regexp_replace(text, '{curation.IPV4_RE}', '<IP>', 'g'),
+               '{curation.PHONE_RE}')) as n_phones,
+           len(regexp_extract_all(text, '{curation.IPV4_RE}')) as n_ipv4,
+           cast((n_emails + n_phones + n_ipv4) > 0 as int) as has_pii,
+           md5(regexp_replace(regexp_replace(regexp_replace(
+               text, '{curation.EMAIL_RE}', '<EMAIL>', 'g'),
+               '{curation.IPV4_RE}', '<IP>', 'g'),
+               '{curation.PHONE_RE}', '<PHONE>', 'g')) as redacted_md5
+    from documents order by doc_id"""
+
+ORACLES["docs_gopher_quality"] = f"""
+    with l as (
+      select doc_id,
+             list_filter(string_split(text, chr(10)),
+                         x -> trim(x) <> '') as lines,
+             len(regexp_extract_all(text, '{_WORD}')) as n_words,
+             length(regexp_replace(text, '[^A-Za-z0-9_]', '', 'g'))
+                 as word_chars
+      from documents)
+    select doc_id, n_words,
+           round(word_chars * 1.0 / greatest(n_words, 1), 6)
+               as mean_word_len,
+           case when len(lines) <= 0 then 0.0
+                else round(1.0 - len(list_distinct(lines)) * 1.0
+                           / len(lines), 6) end as dup_line_frac,
+           case when len(lines) <= 0 then 0.0
+                else round(len(list_filter(lines, x -> x like '%...'))
+                           * 1.0 / len(lines), 6) end as ellipsis_line_frac,
+           cast(n_words >= 50 and n_words <= 100000
+                and mean_word_len >= 3.0 and mean_word_len <= 10.0
+                and dup_line_frac <= 0.3 as int) as gopher_keep
+    from l order by doc_id"""
+
+_DECON_K = curation.DECONTAM_N - 1
+ORACLES["docs_decontaminate"] = f"""
+    with w as (
+      select doc_id, string_split({_NORM}, ' ') as wds
+      from documents where text is not null),
+    g as (
+      select doc_id, doc_id % {curation.DECONTAM_MOD} = 0 as bench,
+             gs.g as gram
+      from w, lateral (
+        select distinct unnest(list_transform(
+          range(1, greatest(len(wds) - {_DECON_K}, 1) + 1),
+          i -> {_H64.format(x=f"array_to_string(wds[i:i+{_DECON_K}], ' ')")}
+        )) as g) gs),
+    b as (select distinct gram from g where bench)
+    select g.doc_id, count(*) as n_hit_grams
+    from g join b using (gram) where not g.bench
+    group by g.doc_id order by g.doc_id"""
+
+ORACLES["docs_stratified_sample"] = """
+    select doc_id, source, lang, rk from (
+      select doc_id, source, lang,
+             row_number() over (partition by source, lang
+               order by md5(cast(doc_id as varchar)), doc_id) as rk
+      from documents) t
+    where rk <= 3 order by source, lang, rk"""

@@ -1,0 +1,85 @@
+"""Curation operators on crafted rows: the catalog's synthetic documents
+contain no PII / newlines / exact dups, so these tests plant the phenomena
+the operators exist to catch (the DuckDB oracle twins in test_oracles.py
+cover engine parity on the real tables)."""
+
+from __future__ import annotations
+
+from inclusionreferenceskg_spark.operators import curation
+
+DOCS_SCHEMA = "doc_id bigint, text string, lang string, source string, " \
+              "n_chars bigint"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "crafted", len(t)) for i, t in rows], DOCS_SCHEMA)
+
+
+def test_pii_counts_and_redaction(spark):
+    d = _docs(spark, [
+        (0, "contact alice@example.com or bob.smith+x@sub.example.org"),
+        (1, "call +49 171 555 0123 or 030-1234567 today"),
+        (2, "server at 10.0.0.1 and 192.168.1.254 (port 8080)"),
+        (3, "nothing sensitive here"),
+    ])
+    rows = {r["doc_id"]: r for r in curation.pii_stats(d).collect()}
+    assert rows[0]["n_emails"] == 2 and rows[0]["has_pii"] == 1
+    assert rows[1]["n_phones"] >= 1 and rows[1]["has_pii"] == 1
+    assert rows[2]["n_ipv4"] == 2 and rows[2]["n_phones"] == 0
+    assert rows[3]["has_pii"] == 0
+
+    # redaction is total: the placeholder hash differs from the raw hash
+    # exactly when PII was present
+    from pyspark.sql import functions as F
+    raw = {r["doc_id"]: r["m"]
+           for r in d.select("doc_id", F.md5("text").alias("m")).collect()}
+    for i in (0, 1, 2):
+        assert rows[i]["redacted_md5"] != raw[i]
+    assert rows[3]["redacted_md5"] == raw[3]
+
+
+def test_gopher_repetition_features(spark):
+    dup_heavy = "\n".join(["the same boilerplate line"] * 8
+                          + ["a unique closing line"])
+    clean = " ".join(f"word{i} filler text goes here" for i in range(20))
+    elliptical = "read more...\nclick here...\nfull article"
+    d = _docs(spark, [(0, dup_heavy), (1, clean), (2, elliptical), (3, "")])
+    rows = {r["doc_id"]: r for r in curation.gopher_quality(d).collect()}
+    assert rows[0]["dup_line_frac"] > 0.7
+    assert rows[0]["gopher_keep"] == 0          # repetition kills it
+    assert rows[1]["dup_line_frac"] == 0.0
+    assert rows[1]["gopher_keep"] == 1
+    assert abs(rows[2]["ellipsis_line_frac"] - 2 / 3) < 1e-6
+    assert rows[3]["n_words"] == 0 and rows[3]["gopher_keep"] == 0
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    bench_text = " ".join(f"tok{i}" for i in range(30))
+    # doc 97*2 is benchmark (id % 97 == 0); doc 5 copies 15 consecutive
+    # benchmark tokens (=> three distinct 13-grams), doc 6 shares nothing
+    contaminated = ("leading words then "
+                    + " ".join(f"tok{i}" for i in range(10, 25))
+                    + " trailing words")
+    d = _docs(spark, [(0, bench_text), (5, contaminated),
+                      (6, "completely disjoint vocabulary entirely")])
+    hits = {r["doc_id"]: r["n_hit_grams"]
+            for r in curation.decontaminate(d).collect()}
+    assert hits == {5: 3}
+
+
+def test_stratified_sample_deterministic(spark):
+    rows = [(i, f"text {i}", ["en", "de"][i % 2], ["web", "news"][i // 8],
+             10) for i in range(16)]
+    d = spark.createDataFrame(rows, DOCS_SCHEMA)
+    out = curation.stratified_sample(d, per_stratum=2).collect()
+    by_stratum = {}
+    for r in out:
+        by_stratum.setdefault((r["source"], r["lang"]), []).append(r)
+    assert set(by_stratum) == {("web", "en"), ("web", "de"),
+                               ("news", "en"), ("news", "de")}
+    assert all(len(v) == 2 for v in by_stratum.values())
+    # byte-reproducible: a second run picks the identical docs
+    again = curation.stratified_sample(d, per_stratum=2).collect()
+    assert sorted(r["doc_id"] for r in out) == \
+        sorted(r["doc_id"] for r in again)

@@ -104,14 +104,14 @@ def minhash_lsh_pairs(documents: DataFrame, n_perm: int = N_PERM,
     sized = buckets.withColumn(
         "bucket_size", F.count("*").over(
             Window.partitionBy("band", "bucket")))
-    # materialize the bucketed table before the self-join: both join
-    # branches would otherwise re-evaluate the whole signature+explode+
-    # window subtree (measured 2x wall on the pairs stage).  Lazy local
-    # checkpoint = no job at plan-build; first action materializes to
-    # executor-local storage — the standard pre-self-join pattern at any
-    # scale (on a cluster this is persist-before-self-join).
-    ok = (sized.filter(F.col("bucket_size") <= max_bucket)
-          .localCheckpoint(eager=False))
+    # NB both self-join branches re-evaluate the signature+explode+window
+    # subtree; measured at sf0.1 the duplicate evaluation is free (the
+    # stage is I/O-bound and the two branches pipeline), so the plan stays
+    # fully declarative.  At cluster scale, persist() this bucket table
+    # before the join if the signature stage dominates — NOT
+    # localCheckpoint: under AQE the RDD conversion executes the subtree's
+    # query stages AT PLAN BUILD (caught by test_no_driver_job_at_plan_build).
+    ok = sized.filter(F.col("bucket_size") <= max_bucket)
     a = ok.select("band", "bucket", F.col("doc_id").alias("a"))
     b = ok.select("band", "bucket", F.col("doc_id").alias("b"))
     return (a.join(b, ["band", "bucket"])

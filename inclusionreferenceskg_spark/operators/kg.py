@@ -191,11 +191,23 @@ def entity_link_pairs(kg_nodes: DataFrame, l3: DataFrame,
     """
 
     def star(df: DataFrame, keys) -> DataFrame:
-        w = Window.partitionBy(*keys)
-        return (df
-                .withColumn("a", F.min("kg_id").over(w))
-                .filter(F.col("kg_id") != F.col("a"))
-                .select("url", "a", F.col("kg_id").alias("b")))
+        # groupBy-min + join back instead of min-over-window: the window
+        # form puts an entire hot blocking key (Zipfian tokens at web
+        # scale) into ONE task, while the aggregate is map-side combined
+        # (one row per key per mapper) and the join back is an equi-join
+        # AQE can skew-split.  Null-safe equality keeps the window
+        # semantics (null keys group together) bit-for-bit.
+        left = df.alias("_sl")
+        mins = (df.groupBy(*keys).agg(F.min("kg_id").alias("a"))
+                .alias("_sm"))
+        cond = None
+        for k in keys:
+            c = F.col(f"_sl.{k}").eqNullSafe(F.col(f"_sm.{k}"))
+            cond = c if cond is None else (cond & c)
+        return (left.join(mins, cond)
+                .filter(F.col("_sl.kg_id") != F.col("_sm.a"))
+                .select(F.col("_sl.url").alias("url"), F.col("_sm.a"),
+                        F.col("_sl.kg_id").alias("b")))
 
     # L1: same token object (same_token_linker.py:9-18) — predicates and
     # objects both carry tokens

@@ -1,12 +1,16 @@
 """spark-submit entry point.
 
-Usage (package shipped via --py-files):
+Usage (package shipped via --py-files; build the zip with
+``python scripts/make_submit_zip.py``, the application script is
+``scripts/submit.py``):
 
-    spark-submit --py-files irkg.zip -m inclusionreferenceskg_spark.cli \\
+    spark-submit --py-files dist/irkg.zip scripts/submit.py \\
         synth --out /data/pages --n 100000
     spark-submit ... run --pages /data/pages --workdir /data/kg [--no-resume]
     spark-submit ... stream --in /data/drops --out /data/triples \\
         --checkpoint /data/ckpt
+
+Locally the same surface runs as ``python -m inclusionreferenceskg_spark.cli``.
 """
 
 from __future__ import annotations

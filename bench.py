@@ -42,6 +42,10 @@ BENCH_QUERIES = [
     "docs_source_composition",
     "docs_token_counts",
     "docs_lang_id",
+    "docs_pii",
+    "docs_gopher_quality",
+    "docs_decontaminate",
+    "docs_stratified_sample",
     "dedup_exact",
     "dedup_minhash_pairs",
     "dedup_simhash",

@@ -207,6 +207,25 @@ def q_range_join_events(spark, sf_dir):
             .orderBy("user_id"))
 
 
+def q_suppliers_by_region(spark, sf_dir):
+    """Supplier census per region: the snowflake dims (region, nation) are
+    bounded by construction, so both ride broadcast joins — the only
+    shuffle is the final per-region aggregate over ~|regions| rows."""
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    re = _t(spark, sf_dir, "region")
+    return (su
+            .join(F.broadcast(na),
+                  su["s_nationkey"] == na["n_nationkey"])
+            .join(F.broadcast(re),
+                  na["n_regionkey"] == re["r_regionkey"])
+            .groupBy("r_name")
+            .agg(F.count("*").alias("n_suppliers"),
+                 F.countDistinct("n_nationkey").alias("n_nations"),
+                 F.round(F.avg("s_acctbal"), 2).alias("avg_acctbal"))
+            .orderBy("r_name"))
+
+
 # ----------------------------------------------------- text / dedup / ANN
 
 def docs_token_counts(spark, sf_dir):
@@ -448,6 +467,7 @@ QUERIES: Dict[str, Callable] = {
     "q_cube_nation_status": q_cube_nation_status,
     "q_except_inactive_custs": q_except_inactive_custs,
     "q_range_join_events": q_range_join_events,
+    "q_suppliers_by_region": q_suppliers_by_region,
     "docs_source_composition": docs_source_composition,
     "docs_token_counts": docs_token_counts,
     "docs_quality": docs_quality,
@@ -1038,6 +1058,15 @@ ORACLES["docs_decontaminate"] = f"""
     select g.doc_id, count(*) as n_hit_grams
     from g join b using (gram) where not g.bench
     group by g.doc_id order by g.doc_id"""
+
+ORACLES["q_suppliers_by_region"] = """
+    select r_name, count(*) as n_suppliers,
+           count(distinct n_nationkey) as n_nations,
+           round(avg(s_acctbal), 2) as avg_acctbal
+    from supplier
+    join nation on s_nationkey = n_nationkey
+    join region on n_regionkey = r_regionkey
+    group by r_name order by r_name"""
 
 ORACLES["docs_stratified_sample"] = """
     select doc_id, source, lang, rk from (

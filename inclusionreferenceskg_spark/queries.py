@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from typing import Callable, Dict
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from inclusionreferenceskg_spark import synth
 from inclusionreferenceskg_spark.operators import (
@@ -205,6 +205,37 @@ def q_range_join_events(spark, sf_dir):
             .groupBy("user_id")
             .agg(F.count("*").alias("n_first_day"))
             .orderBy("user_id"))
+
+
+def q_asof_attribution(spark, sf_dir):
+    """As-of join (an operator Spark lacks natively, re-expressed as a
+    window composition): each purchase matched to the user's most recent
+    prior-or-equal view.  One shuffle on user_id, then a linear
+    running-``last(ignoreNulls)`` over the time-sorted tagged union — the
+    sort-based as-of plan that scales to arbitrarily long user histories
+    (no per-pair join blow-up).  Ties: a view at the identical timestamp
+    counts (tag orders views before purchases); only the view *timestamp*
+    is emitted so equal-ts view rows cannot make output nondeterministic.
+    """
+    ev = _t(spark, sf_dir, "events")
+    te = F.unix_timestamp("ts").cast("bigint")
+    views = (ev.filter(F.col("event_type") == "view")
+             .select("user_id", te.alias("te"), F.lit(0).alias("tag"),
+                     F.lit(None).cast("bigint").alias("event_id")))
+    purch = (ev.filter(F.col("event_type") == "purchase")
+             .select("user_id", te.alias("te"), F.lit(1).alias("tag"),
+                     "event_id"))
+    tagged = views.unionByName(purch).withColumn(
+        "view_ts", F.when(F.col("tag") == 0, F.col("te")))
+    w = (Window.partitionBy("user_id").orderBy("te", "tag")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (tagged
+            .withColumn("last_view_ts", F.last("view_ts", True).over(w))
+            .filter(F.col("tag") == 1)
+            .select("event_id", "user_id",
+                    F.col("te").alias("purchase_ts"), "last_view_ts",
+                    (F.col("te") - F.col("last_view_ts")).alias("gap_s"))
+            .orderBy("event_id"))
 
 
 def q_suppliers_by_region(spark, sf_dir):
@@ -468,6 +499,7 @@ QUERIES: Dict[str, Callable] = {
     "q_except_inactive_custs": q_except_inactive_custs,
     "q_range_join_events": q_range_join_events,
     "q_suppliers_by_region": q_suppliers_by_region,
+    "q_asof_attribution": q_asof_attribution,
     "docs_source_composition": docs_source_composition,
     "docs_token_counts": docs_token_counts,
     "docs_quality": docs_quality,
@@ -1067,6 +1099,18 @@ ORACLES["q_suppliers_by_region"] = """
     join nation on s_nationkey = n_nationkey
     join region on n_regionkey = r_regionkey
     group by r_name order by r_name"""
+
+ORACLES["q_asof_attribution"] = """
+    with p as (select event_id, user_id,
+                      cast(floor(epoch(ts)) as bigint) as te
+               from events where event_type = 'purchase'),
+         v as (select user_id, cast(floor(epoch(ts)) as bigint) as te
+               from events where event_type = 'view')
+    select p.event_id, p.user_id, p.te as purchase_ts,
+           v.te as last_view_ts, p.te - v.te as gap_s
+    from p asof left join v
+      on p.user_id = v.user_id and v.te <= p.te
+    order by p.event_id"""
 
 ORACLES["docs_stratified_sample"] = """
     select doc_id, source, lang, rk from (

@@ -58,8 +58,24 @@ def _kg_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return synth.pages_from_documents(docs)
 
 
+#: session-scoped memo of the parsed-node table, keyed by
+#: (applicationId, sf_dir, doc limit).  Five catalog entries fan out from
+#: the same parse — without the memo each re-runs the annotate/parse UDF
+#: stage from scratch (the pipeline's dominant cost).  ``persist`` (not
+#: localCheckpoint) keeps the lineage, so a ``spark.catalog.clearCache()``
+#: between bench trials just falls back to recompute — never stale data.
+#: This mirrors the production layout: parse once into a durable node
+#: table, run every downstream stage off it (sources/catalog.py).
+_NODES_MEMO: Dict[tuple, DataFrame] = {}
+
+
 def _kg_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return parse_pages(_kg_pages(spark, sf_dir))
+    key = (spark.sparkContext.applicationId, sf_dir, _kg_doc_limit())
+    df = _NODES_MEMO.get(key)
+    if df is None:
+        df = parse_pages(_kg_pages(spark, sf_dir)).persist()
+        _NODES_MEMO[key] = df
+    return df
 
 
 # ---------------------------------------------------------------- relational
@@ -472,13 +488,13 @@ def kg_qualifiers(spark, sf_dir):
 
 
 def kg_resolved(spark, sf_dir):
-    nodes = _kg_nodes(spark, sf_dir).cache()
+    nodes = _kg_nodes(spark, sf_dir)
     res = resolve_targets(build_qualifiers(nodes), nodes)
     return res.orderBy("url", "seq", "mention_idx", "qual_idx")
 
 
 def kg_triples(spark, sf_dir):
-    nodes = _kg_nodes(spark, sf_dir).cache()
+    nodes = _kg_nodes(spark, sf_dir)
     res = resolve_targets(build_qualifiers(nodes), nodes)
     _, _, _, triples = kg_ops.build_graph(nodes, res)
     return triples.orderBy("url", "subject", "relation", "object")

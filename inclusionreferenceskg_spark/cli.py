@@ -48,6 +48,12 @@ def main(argv=None) -> int:
     p_stream.add_argument("--checkpoint", required=True)
 
     args = ap.parse_args(argv)
+    if args.cmd == "run":
+        # fail fast with an argparse-style message for plain local paths
+        # (scheme-qualified paths — hdfs://, s3a:// — defer to Spark)
+        import os
+        if "://" not in args.pages and not os.path.exists(args.pages):
+            ap.error(f"--pages path does not exist: {args.pages}")
     spark = get_spark("irkg-cli")
 
     if args.cmd == "synth":

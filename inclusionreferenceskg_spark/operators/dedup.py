@@ -101,17 +101,24 @@ def minhash_lsh_pairs(documents: DataFrame, n_perm: int = N_PERM,
                        F.explode(F.array(*band_structs)).alias("bb"))
                .select("doc_id", F.col("bb.band").alias("band"),
                        F.col("bb.bucket").alias("bucket")))
-    sized = buckets.withColumn(
-        "bucket_size", F.count("*").over(
-            Window.partitionBy("band", "bucket")))
-    # NB both self-join branches re-evaluate the signature+explode+window
+    # bucket-size cap via groupBy-count + equi-join on the under-cap keys
+    # (NOT count-over-window: a window shuffles every row of a hot
+    # boilerplate bucket into ONE sort task, while groupBy does map-side
+    # partial aggregation and the join is AQE-skew-splittable — same
+    # skew-safe pattern as the linker blocking, kg.py).  Catalyst reuses
+    # the (band, bucket) exchange between the agg and the join probe.
+    # NB both self-join branches re-evaluate the signature+explode
     # subtree; measured at sf0.1 the duplicate evaluation is free (the
     # stage is I/O-bound and the two branches pipeline), so the plan stays
     # fully declarative.  At cluster scale, persist() this bucket table
     # before the join if the signature stage dominates — NOT
     # localCheckpoint: under AQE the RDD conversion executes the subtree's
     # query stages AT PLAN BUILD (caught by test_no_driver_job_at_plan_build).
-    ok = sized.filter(F.col("bucket_size") <= max_bucket)
+    ok_keys = (buckets.groupBy("band", "bucket")
+               .agg(F.count("*").alias("bucket_size"))
+               .filter(F.col("bucket_size") <= max_bucket)
+               .select("band", "bucket"))
+    ok = buckets.join(ok_keys, ["band", "bucket"])
     a = ok.select("band", "bucket", F.col("doc_id").alias("a"))
     b = ok.select("band", "bucket", F.col("doc_id").alias("b"))
     return (a.join(b, ["band", "bucket"])
@@ -210,10 +217,12 @@ def simhash_pairs(documents: DataFrame,
                .select("doc_id", "b0", "b1", "b2", "b3",
                        F.col("bb.band").alias("band"),
                        F.col("bb.val").alias("val")))
-    sized = buckets.withColumn(
-        "bucket_size",
-        F.count("*").over(Window.partitionBy("band", "val")))
-    ok = sized.filter(F.col("bucket_size") <= max_bucket)
+    # groupBy-count + join, not count-over-window — see minhash_lsh_pairs
+    ok_keys = (buckets.groupBy("band", "val")
+               .agg(F.count("*").alias("bucket_size"))
+               .filter(F.col("bucket_size") <= max_bucket)
+               .select("band", "val"))
+    ok = buckets.join(ok_keys, ["band", "val"])
     a = ok.select("band", "val", F.col("doc_id").alias("a"),
                   *[F.col(f"b{j}").alias(f"a{j}")
                     for j in range(SIMHASH64_BANDS)])

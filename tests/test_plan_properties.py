@@ -83,3 +83,14 @@ def test_no_driver_job_at_plan_build(spark):
         added = jobs_for(
             lambda: entry_mod.queries()[name](spark, SF_DIR))
         assert added <= baseline, (name, added, baseline)
+
+
+@pytest.mark.parametrize("name", ["dedup_minhash_pairs",
+                                  "dedup_simhash_pairs"])
+def test_lsh_bucket_cap_is_aggregate_not_window(spark, name):
+    # the bucket-size cap must be groupBy-count + equi-join (map-side
+    # partial aggregation, AQE-skew-splittable join) — a count-over-window
+    # funnels every row of a hot boilerplate bucket into one sort task
+    plan = _plan(spark, name)
+    assert "Window" not in plan, name
+    assert "HashAggregate" in plan, name

@@ -330,40 +330,43 @@ def connected_components(pairs: DataFrame, max_iter: int = 12,
     # isolates conf).  The previous value is restored on exit; if it was
     # unset we restore the documented Spark default ("true").
     cc_parts = 8
+    # materialize the pair list before multiple branches reference it
+    # (concurrent branches would run the linker plan twice).  This
+    # evaluates the LINKER JOIN PLAN, so it runs under the caller's AQE
+    # setting (coalescing/skew-split apply); only the fixed-latency
+    # distributed phases below turn AQE off.
+    pairs = pairs.localCheckpoint(eager=True)
+
+    # whole-graph fast path: when the entire merge-pair list fits on
+    # the driver (explicit cutoff), one collect + union-find replaces
+    # the two-phase machinery's ~4 fixed jobs — the standard
+    # small-input adaptive choice.  Semantics identical (min id per
+    # component); the distributed phases below are the at-scale path.
+    if pairs.count() <= small_quotient_cutoff:
+        parent: dict = {}
+
+        def find(x: str) -> str:
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for row in pairs.select("a", "b").collect():
+            ra, rb = find(row["a"]), find(row["b"])
+            if ra != rb:
+                lo, hi = min(ra, rb), max(ra, rb)
+                parent[hi] = lo
+        rows = [(n, find(n)) for n in parent]
+        out = spark.createDataFrame(
+            rows or [("", "")], "kg_id string, canon_id string")
+        if not rows:
+            out = out.filter(F.lit(False))
+        return out
+
     aqe_was = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
-        # materialize the pair list before multiple branches reference it
-        # (concurrent branches would run the linker plan twice)
-        pairs = pairs.localCheckpoint(eager=True)
-
-        # whole-graph fast path: when the entire merge-pair list fits on
-        # the driver (explicit cutoff), one collect + union-find replaces
-        # the two-phase machinery's ~4 fixed jobs — the standard
-        # small-input adaptive choice.  Semantics identical (min id per
-        # component); the distributed phases below are the at-scale path.
-        if pairs.count() <= small_quotient_cutoff:
-            parent: dict = {}
-
-            def find(x: str) -> str:
-                parent.setdefault(x, x)
-                while parent[x] != x:
-                    parent[x] = parent[parent[x]]
-                    x = parent[x]
-                return x
-
-            for row in pairs.select("a", "b").collect():
-                ra, rb = find(row["a"]), find(row["b"])
-                if ra != rb:
-                    lo, hi = min(ra, rb), max(ra, rb)
-                    parent[hi] = lo
-            rows = [(n, find(n)) for n in parent]
-            out = spark.createDataFrame(
-                rows or [("", "")], "kg_id string, canon_id string")
-            if not rows:
-                out = out.filter(F.lit(False))
-            return out
-
         # phase 1: kg ids are "<sha(url)[:12]>:<kind><n>" — a pair is
         # document-local iff the prefixes match
         doc_local = F.substring("a", 1, 12) == F.substring("b", 1, 12)

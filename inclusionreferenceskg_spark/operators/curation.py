@@ -65,7 +65,14 @@ def pii_stats(documents: DataFrame) -> DataFrame:
         PHONE_RE, "<PHONE>")
     n_emails = _count(t, EMAIL_RE)
     n_ipv4 = _count(t, IPV4_RE)
-    n_phones = _count(F.regexp_replace(t, IPV4_RE, "<IP>"), PHONE_RE)
+    # phones are counted on the email- then IP-redacted text — the same
+    # prefix of the redaction pipeline that runs before <PHONE> replacement
+    # — so a digit run inside an email local part is never double-counted
+    # as a phone (it is already <EMAIL> by the time phone redaction runs)
+    n_phones = _count(
+        F.regexp_replace(F.regexp_replace(t, EMAIL_RE, "<EMAIL>"),
+                         IPV4_RE, "<IP>"),
+        PHONE_RE)
     return documents.select(
         "doc_id",
         n_emails.alias("n_emails"),

@@ -96,24 +96,24 @@ def minhash_lsh_pairs(documents: DataFrame, n_perm: int = N_PERM,
             .alias("bucket"))
         for b in range(n_perm // band_r)
     ]
+    # the shingle+minhash signature stage is the expensive subtree and is
+    # referenced FOUR times downstream (cap agg, cap probe, both self-join
+    # sides); persist the narrow (doc_id, band, bucket) table so it is
+    # computed once — same policy as simhash_pairs's sig.cache().  persist
+    # (lazy), NOT localCheckpoint: under AQE the RDD conversion executes
+    # the subtree's query stages AT PLAN BUILD (caught by
+    # test_no_driver_job_at_plan_build).
     buckets = (sig
                .select("doc_id",
                        F.explode(F.array(*band_structs)).alias("bb"))
                .select("doc_id", F.col("bb.band").alias("band"),
-                       F.col("bb.bucket").alias("bucket")))
+                       F.col("bb.bucket").alias("bucket"))
+               .persist())
     # bucket-size cap via groupBy-count + equi-join on the under-cap keys
     # (NOT count-over-window: a window shuffles every row of a hot
     # boilerplate bucket into ONE sort task, while groupBy does map-side
     # partial aggregation and the join is AQE-skew-splittable — same
-    # skew-safe pattern as the linker blocking, kg.py).  Catalyst reuses
-    # the (band, bucket) exchange between the agg and the join probe.
-    # NB both self-join branches re-evaluate the signature+explode
-    # subtree; measured at sf0.1 the duplicate evaluation is free (the
-    # stage is I/O-bound and the two branches pipeline), so the plan stays
-    # fully declarative.  At cluster scale, persist() this bucket table
-    # before the join if the signature stage dominates — NOT
-    # localCheckpoint: under AQE the RDD conversion executes the subtree's
-    # query stages AT PLAN BUILD (caught by test_no_driver_job_at_plan_build).
+    # skew-safe pattern as the linker blocking, kg.py).
     ok_keys = (buckets.groupBy("band", "bucket")
                .agg(F.count("*").alias("bucket_size"))
                .filter(F.col("bucket_size") <= max_bucket)

@@ -110,10 +110,16 @@ def _cap_buckets(bucketed: DataFrame,
     rather than an unbounded quadratic rerank)."""
     if max_bucket is None:
         return bucketed
-    sized = bucketed.withColumn(
-        "bucket_size", F.count("*").over(Window.partitionBy("bucket")))
-    return sized.filter(
-        F.col("bucket_size") <= max_bucket).drop("bucket_size")
+    # groupBy-count + equi-join on the under-cap keys, NOT
+    # count-over-window: a window shuffles every row of a hot boilerplate
+    # bucket into ONE sort task, while groupBy does map-side partial
+    # aggregation and the join is AQE-skew-splittable — the same skew-safe
+    # pattern as dedup.minhash_lsh_pairs (operators/dedup.py).
+    ok_keys = (bucketed.groupBy("bucket")
+               .agg(F.count("*").alias("bucket_size"))
+               .filter(F.col("bucket_size") <= max_bucket)
+               .select("bucket"))
+    return bucketed.join(ok_keys, "bucket")
 
 
 def ann_lsh_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 5,
@@ -224,10 +230,18 @@ def ann_ivf_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 5,
     cents = ivf_centroids(embeddings, n_cells)
     assigned = ivf_assign(embeddings, cents)
     if max_cell is not None:
-        sized = assigned.withColumn(
-            "cell_size", F.count("*").over(Window.partitionBy("cell_id")))
-        assigned = sized.filter(
-            F.col("cell_size") <= max_cell).drop("cell_size")
+        # under-cap cell ids via groupBy-count (map-side combinable; the
+        # old count-over-window funneled every row of a hot cell into one
+        # sort task).  The key set is bounded by n_cells, so the probe
+        # join broadcasts — the corpus side needs no shuffle at all; the
+        # price is a second evaluation of the O(K)-per-row assignment
+        # projection on the agg branch, which is narrow and
+        # whole-stage-codegen (strictly cheaper than shuffling the corpus).
+        ok_cells = (assigned.groupBy("cell_id")
+                    .agg(F.count("*").alias("cell_size"))
+                    .filter(F.col("cell_size") <= max_cell)
+                    .select("cell_id"))
+        assigned = assigned.join(F.broadcast(ok_cells), "cell_id")
     probes = ivf_probes(embeddings, cents, n_queries, n_probe)
     joined = (assigned.join(F.broadcast(probes), "cell_id")
               .filter(F.col("vec_id") != F.col("query_id"))

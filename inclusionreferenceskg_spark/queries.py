@@ -1056,7 +1056,10 @@ ORACLES["docs_pii"] = f"""
     select doc_id,
            len(regexp_extract_all(text, '{curation.EMAIL_RE}')) as n_emails,
            len(regexp_extract_all(
-               regexp_replace(text, '{curation.IPV4_RE}', '<IP>', 'g'),
+               regexp_replace(
+                   regexp_replace(text, '{curation.EMAIL_RE}', '<EMAIL>',
+                                  'g'),
+                   '{curation.IPV4_RE}', '<IP>', 'g'),
                '{curation.PHONE_RE}')) as n_phones,
            len(regexp_extract_all(text, '{curation.IPV4_RE}')) as n_ipv4,
            cast((n_emails + n_phones + n_ipv4) > 0 as int) as has_pii,

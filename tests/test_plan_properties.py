@@ -86,7 +86,8 @@ def test_no_driver_job_at_plan_build(spark):
 
 
 @pytest.mark.parametrize("name", ["dedup_minhash_pairs",
-                                  "dedup_simhash_pairs"])
+                                  "dedup_simhash_pairs",
+                                  "emb_neardup_pairs"])
 def test_lsh_bucket_cap_is_aggregate_not_window(spark, name):
     # the bucket-size cap must be groupBy-count + equi-join (map-side
     # partial aggregation, AQE-skew-splittable join) — a count-over-window
@@ -94,3 +95,14 @@ def test_lsh_bucket_cap_is_aggregate_not_window(spark, name):
     plan = _plan(spark, name)
     assert "Window" not in plan, name
     assert "HashAggregate" in plan, name
+
+
+@pytest.mark.parametrize("name", ["ann_lsh_topk", "ann_ivf_topk"])
+def test_ann_cap_not_window_over_bucket(spark, name):
+    # the ANN queries legitimately use a window for the per-query top-k
+    # rank, but the hot-bucket/hot-cell size cap must never be a window
+    # partitioned by the bucket/cell key (that serializes a hot bucket
+    # into one sort task — see dedup.minhash_lsh_pairs)
+    plan = _plan(spark, name)
+    assert "windowspecdefinition(bucket" not in plan, name
+    assert "windowspecdefinition(cell_id" not in plan, name

@@ -40,6 +40,23 @@ def planes_for(n_rows: int, target_bucket: int = 1024) -> int:
     return max(1, math.ceil(math.log2(n_rows / target_bucket)))
 
 
+def corpus_rows(sf_dir: str, table: str = "embeddings") -> int:
+    """Corpus row count from parquet footer metadata — the sandbox
+    stand-in for an Iceberg snapshot manifest's ``total-records``.  A pure
+    driver-side file-metadata read: no Spark job, no data scan, so plan
+    construction stays free (test_no_driver_job_at_plan_build).  This is
+    what feeds ``planes_for`` in the sized ANN path."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    files = (sorted(glob.glob(os.path.join(path, "*.parquet")))
+             if os.path.isdir(path) else [path])
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
 def _dot(a, b):
     return F.expr(f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
                   f"cast(0 as double), (acc, v) -> acc + v)")

@@ -390,6 +390,26 @@ def ann_lsh_topk(spark, sf_dir):
         _t(spark, sf_dir, "embeddings")).orderBy("query_id", "rank")
 
 
+#: expected bucket population for the corpus-sized SRP entry (small so the
+#: catalog's 500-row test table yields a plane count != the pinned 6,
+#: demonstrating the sizing path end-to-end with a green oracle)
+SIZED_TARGET_BUCKET = 32
+
+
+def ann_lsh_topk_sized(spark, sf_dir):
+    """ANN top-k with the SRP plane count SIZED to the corpus:
+    ``planes_for(total-records)`` where the count comes from the table's
+    parquet footer metadata (the Iceberg-manifest stand-in — a driver-side
+    file-metadata read, not a Spark job).  At 10^12 rows this is ~25
+    planes; on the 500-row catalog table it is 4 — either way the expected
+    bucket population stays ``SIZED_TARGET_BUCKET``."""
+    n = similarity.corpus_rows(sf_dir)
+    return similarity.ann_lsh_topk(
+        _t(spark, sf_dir, "embeddings"),
+        n_planes=similarity.planes_for(n, SIZED_TARGET_BUCKET)
+    ).orderBy("query_id", "rank")
+
+
 def ann_ivf_topk(spark, sf_dir):
     return similarity.ann_ivf_topk(
         _t(spark, sf_dir, "embeddings")).orderBy("query_id", "rank")
@@ -537,6 +557,7 @@ QUERIES: Dict[str, Callable] = {
     "dedup_clusters": dedup_clusters,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_lsh_topk_sized": ann_lsh_topk_sized,
     "ann_ivf_topk": ann_ivf_topk,
     "emb_neardup_pairs": emb_neardup_pairs,
     "multimodal_image_meta": multimodal_image_meta,
@@ -706,6 +727,22 @@ def _neardup_clusters_sql() -> str:
         " canon_id) as bigint) as cluster_size from canon order by doc_id")
 
 
+def _sized_planes() -> int:
+    """Plane count for the sized-SRP oracle: same ``planes_for`` over the
+    same footer-metadata count as the Spark entry, taken from the dir the
+    oracle will run against (ORACLE_SF_DIR for the local test twin; the
+    driver's documented sf0.01 otherwise).  Falls back to the 500-row
+    testdata contract when no table is reachable (e.g. import inside a
+    cluster submit zip, where the oracle is never executed)."""
+    import os
+    sf_dir = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    try:
+        n = similarity.corpus_rows(sf_dir)
+    except (OSError, ValueError):
+        n = 500
+    return similarity.planes_for(n, SIZED_TARGET_BUCKET)
+
+
 def _srp_bucket_sql(n_planes: int) -> str:
     # same deterministic hyperplanes as operators/similarity.py
     from inclusionreferenceskg_spark.operators.similarity import _hyperplane
@@ -734,8 +771,8 @@ def _ann_cosine_sql() -> str:
         " where rank <= 10 order by query_id, rank")
 
 
-def _ann_lsh_sql() -> str:
-    sig = _srp_bucket_sql(6)
+def _ann_lsh_sql(n_planes: int = 6) -> str:
+    sig = _srp_bucket_sql(n_planes)
     return (
         f"with bucketed as (select vec_id, embedding, {sig} as bucket from"
         " embeddings), q as (select vec_id as query_id, embedding as qe,"
@@ -960,6 +997,7 @@ ORACLES: Dict[str, str] = {
     "dedup_clusters": _neardup_clusters_sql(),
     "ann_cosine_topk": _ann_cosine_sql(),
     "ann_lsh_topk": _ann_lsh_sql(),
+    "ann_lsh_topk_sized": _ann_lsh_sql(_sized_planes()),
     "ann_ivf_topk": _ann_ivf_sql(),
     "emb_neardup_pairs": _emb_neardup_sql(),
     "multimodal_image_meta": """

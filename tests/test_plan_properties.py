@@ -78,8 +78,9 @@ def test_no_driver_job_at_plan_build(spark):
 
     baseline = jobs_for(
         lambda: spark.read.parquet(f"{SF_DIR}/embeddings.parquet"))
-    for name in ("ann_lsh_topk", "ann_ivf_topk", "emb_neardup_pairs",
-                 "ann_cosine_topk", "dedup_minhash_pairs"):
+    for name in ("ann_lsh_topk", "ann_lsh_topk_sized", "ann_ivf_topk",
+                 "emb_neardup_pairs", "ann_cosine_topk",
+                 "dedup_minhash_pairs"):
         added = jobs_for(
             lambda: entry_mod.queries()[name](spark, SF_DIR))
         assert added <= baseline, (name, added, baseline)
@@ -97,7 +98,8 @@ def test_lsh_bucket_cap_is_aggregate_not_window(spark, name):
     assert "HashAggregate" in plan, name
 
 
-@pytest.mark.parametrize("name", ["ann_lsh_topk", "ann_ivf_topk"])
+@pytest.mark.parametrize("name", ["ann_lsh_topk", "ann_lsh_topk_sized",
+                                  "ann_ivf_topk"])
 def test_ann_cap_not_window_over_bucket(spark, name):
     # the ANN queries legitimately use a window for the per-query top-k
     # rank, but the hot-bucket/hot-cell size cap must never be a window

@@ -340,6 +340,17 @@ def corpus_curated(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def corpus_curated_staged(spark, sf_dir):
+    """The same funnel as ``corpus_curated``, production-pathed: each
+    stage (lang, quality, exact-keep, near-dup clusters) is materialized
+    once through the Catalog lineage machinery (plans/funnel.py) and the
+    returned plan only SCANS the stage parquet — the CC iteration and LSH
+    self-join never re-run for downstream consumers.  Same oracle as
+    corpus_curated (identical rows, different physical plan)."""
+    from inclusionreferenceskg_spark.plans.funnel import run_curation_funnel
+    return run_curation_funnel(spark, sf_dir)
+
+
 def dedup_exact(spark, sf_dir):
     return dedup.exact_duplicates(
         _t(spark, sf_dir, "documents")).orderBy("text_hash")
@@ -544,6 +555,7 @@ QUERIES: Dict[str, Callable] = {
     "docs_ngram_topk": docs_ngram_topk,
     "docs_length_histogram": docs_length_histogram,
     "corpus_curated": corpus_curated,
+    "corpus_curated_staged": corpus_curated_staged,
     "docs_pii": docs_pii,
     "docs_gopher_quality": docs_gopher_quality,
     "docs_decontaminate": docs_decontaminate,
@@ -1087,6 +1099,10 @@ ORACLES["corpus_curated"] = (
     "and d.doc_id in (select doc_id from keep) "
     "and (clus.doc_id is null or clus.canon_id = d.doc_id) "
     "order by d.doc_id")
+
+# the staged funnel must produce byte-identical rows to the inline one —
+# one oracle, two physical plans (recompute vs stage-table scans)
+ORACLES["corpus_curated_staged"] = ORACLES["corpus_curated"]
 
 # curation twins (patterns interpolated from operators/curation.py so both
 # engines compile the byte-identical RE2-compatible regex)

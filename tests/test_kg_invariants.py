@@ -32,9 +32,13 @@ N_DOCS = 10
 
 @pytest.fixture(scope="module")
 def kg_dir(spark, tmp_path_factory):
+    from inclusionreferenceskg_spark.operators.detect import detect_mentions
     out = str(tmp_path_factory.mktemp("kg_parquet"))
     res = run_pipeline(synth.synthesize_pages(spark, N_DOCS))
     res.nodes.write.parquet(f"{out}/nodes")
+    detect_mentions(res.nodes).write.parquet(f"{out}/mentions")
+    res.qualifiers.write.parquet(f"{out}/qualifiers")
+    res.resolved.write.parquet(f"{out}/resolved")
     res.kg_nodes.write.parquet(f"{out}/kg_nodes")
     res.kg_edges.write.parquet(f"{out}/kg_edges")
     res.canon.write.parquet(f"{out}/canon")
@@ -45,7 +49,8 @@ def kg_dir(spark, tmp_path_factory):
 @pytest.fixture(scope="module")
 def ddb(kg_dir):
     con = duckdb.connect()
-    for t in ("nodes", "kg_nodes", "kg_edges", "canon", "triples"):
+    for t in ("nodes", "mentions", "qualifiers", "resolved", "kg_nodes",
+              "kg_edges", "canon", "triples"):
         con.execute(f"create view {t} as select * from "
                     f"read_parquet('{kg_dir}/{t}/*.parquet')")
     yield con
@@ -120,6 +125,101 @@ def test_structural_edges_reference_real_nodes(ddb):
                          where n.node_id = e.dst and n.url = e.url))
     """).fetchone()[0]
     assert bad == 0
+
+
+def _depth_case() -> str:
+    """DuckDB CASE mapping node_type -> depth rank (the reference's
+    per-type `depth` class attributes, reference_resolver.py:106 sorts
+    qualifiers by it)."""
+    from inclusionreferenceskg_spark.functions.doctree import DEPTH
+    whens = " ".join(f"when '{t}' then {d}" for t, d in DEPTH.items())
+    return f"case e.node_type {whens} else 99 end"
+
+
+_MENTION_BOUNDS_SQL = """
+    select count(*) from mentions m join nodes n using (url, node_id)
+    where m.start < {off} or m.start + length(m.text) > length(n.content)
+       or substr(n.content, m.start + 1 + {off}, length(m.text)) != m.text
+"""
+
+
+def test_mention_offsets_within_content(ddb):
+    # every detected mention is an exact substring of its node's content
+    # at the recorded 0-based offset
+    n_mentions = ddb.execute("select count(*) from mentions").fetchone()[0]
+    assert n_mentions > 0
+    bad = ddb.execute(_MENTION_BOUNDS_SQL.format(off=0)).fetchone()[0]
+    assert bad == 0
+    # seeded fault: shifting every offset by one must violate the check
+    seeded = ddb.execute(_MENTION_BOUNDS_SQL.format(off=1)).fetchone()[0]
+    assert seeded > 0
+
+
+def test_qualifier_depth_sorted(ddb):
+    # a qualifier's pattern elements are depth-sorted shallow->deep
+    # (reference_resolver.py:106: resolved.sort(key=lambda x: x.depth))
+    case = _depth_case()
+    bad = ddb.execute(f"""
+        select count(*) from qualifiers
+        where list_transform(qualifier, e -> {case}) !=
+              list_sort(list_transform(qualifier, e -> {case}))
+    """).fetchone()[0]
+    assert bad == 0
+    # seeded fault: reversing the qualifier must violate the check for at
+    # least one multi-element qualifier
+    seeded = ddb.execute(f"""
+        select count(*) from (
+          select list_reverse(qualifier) as qualifier from qualifiers
+          where len(qualifier) > 1) q2,
+        lateral (select 1 as one) l
+        where list_transform(qualifier, e -> {case}) !=
+              list_sort(list_transform(qualifier, e -> {case}))
+    """).fetchone()[0]
+    assert seeded > 0
+
+
+def test_resolved_target_path_matches_qualifier(ddb):
+    # the resolver is a path automaton: every numbered structural element
+    # of the winning qualifier must appear as (node_type, number) in the
+    # resolved target's root-to-node path (Document/Root elements are
+    # identity/title-matched, not path elements of the same document)
+    n_resolved = ddb.execute("select count(*) from resolved").fetchone()[0]
+    assert n_resolved > 0
+    bad = ddb.execute("""
+        select count(*) from resolved r
+        join qualifiers q using (url, node_id, mention_idx, qual_idx)
+        join nodes n on n.url = r.target_url
+                    and n.node_id = r.target_node_id
+        where len(list_filter(q.qualifier,
+              e -> e.number is not null
+                   and e.node_type not in ('Document', 'Root')
+                   and not list_contains(
+                         list_transform(n.path, p ->
+                           p.node_type || '#' ||
+                           coalesce(cast(p.number as varchar), '')),
+                         e.node_type || '#' ||
+                         cast(e.number as varchar)))) > 0
+    """).fetchone()[0]
+    assert bad == 0
+    # seeded fault: pointing every resolution at the target's PARENT node
+    # must break path containment for leaf-level qualifiers
+    seeded = ddb.execute("""
+        select count(*) from resolved r
+        join qualifiers q using (url, node_id, mention_idx, qual_idx)
+        join nodes c on c.url = r.target_url
+                    and c.node_id = r.target_node_id
+        join nodes n on n.url = c.url and n.node_id = c.parent_id
+        where len(list_filter(q.qualifier,
+              e -> e.number is not null
+                   and e.node_type not in ('Document', 'Root')
+                   and not list_contains(
+                         list_transform(n.path, p ->
+                           p.node_type || '#' ||
+                           coalesce(cast(p.number as varchar), '')),
+                         e.node_type || '#' ||
+                         cast(e.number as varchar)))) > 0
+    """).fetchone()[0]
+    assert seeded > 0
 
 
 def test_defines_edges_from_owning_node(ddb):

@@ -50,9 +50,19 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
     if args.cmd == "run":
         # fail fast with an argparse-style message for plain local paths
-        # (scheme-qualified paths — hdfs://, s3a:// — defer to Spark)
+        # (scheme-qualified paths — hdfs://, s3a:// — defer to Spark), but
+        # only when the run is actually local: with a cluster master or a
+        # Hadoop config dir present, scheme-less paths resolve against
+        # fs.defaultFS (and under --deploy-mode cluster this code runs in
+        # the driver container, not the submitting machine), so a local
+        # os.path.exists probe is meaningless there
         import os
-        if "://" not in args.pages and not os.path.exists(args.pages):
+        runs_local = (
+            os.environ.get("SPARK_GRAFT_MASTER", "local").startswith("local")
+            and not os.environ.get("HADOOP_CONF_DIR")
+            and not os.environ.get("YARN_CONF_DIR"))
+        if ("://" not in args.pages and runs_local
+                and not os.path.exists(args.pages)):
             ap.error(f"--pages path does not exist: {args.pages}")
     spark = get_spark("irkg-cli")
 

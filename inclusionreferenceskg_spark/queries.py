@@ -70,9 +70,19 @@ _NODES_MEMO: Dict[tuple, DataFrame] = {}
 
 
 def _kg_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir, _kg_doc_limit())
+    # keyed additionally on a file-metadata fingerprint of the documents
+    # table, so parquet regenerated under the same sf_dir can never be
+    # served stale materialized partitions; entries superseded for the
+    # same (application, sf_dir) are unpersisted so the key set stays
+    # bounded for the life of the application
+    from inclusionreferenceskg_spark.plans.funnel import _docs_fingerprint
+    key = (spark.sparkContext.applicationId, sf_dir, _kg_doc_limit(),
+           _docs_fingerprint(sf_dir))
     df = _NODES_MEMO.get(key)
     if df is None:
+        for stale in [k for k in _NODES_MEMO
+                      if k[:2] == key[:2] and k != key]:
+            _NODES_MEMO.pop(stale).unpersist()
         df = parse_pages(_kg_pages(spark, sf_dir)).persist()
         _NODES_MEMO[key] = df
     return df

@@ -22,7 +22,10 @@ def get_spark(app_name: str = "inclusionreferenceskg-spark",
               master: Optional[str] = None,
               shuffle_partitions: Optional[int] = None) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    master = master or f"local[{cpus}]"
+    # cluster runs set SPARK_GRAFT_MASTER (e.g. yarn, spark://...) —
+    # builder.master would otherwise override spark-submit's --master
+    master = (master or os.environ.get("SPARK_GRAFT_MASTER")
+              or f"local[{cpus}]")
     shuffle_partitions = shuffle_partitions or int(
         os.environ.get("SPARK_SHUFFLE_PARTITIONS", cpus))
     builder = (

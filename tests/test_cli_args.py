@@ -24,6 +24,27 @@ def test_run_missing_pages_path_is_clean_error(capsys):
     assert "Traceback" not in err
 
 
+def test_run_cluster_env_skips_local_check(monkeypatch, capsys):
+    # with a cluster master (or HADOOP_CONF_DIR), scheme-less paths
+    # resolve against fs.defaultFS — the local existence probe must not
+    # reject them.  get_spark is stubbed to a sentinel: reaching it
+    # proves the argparse layer let the path through.
+    import inclusionreferenceskg_spark.cli as cli_mod
+
+    class _Sentinel(Exception):
+        pass
+
+    def _boom(*a, **kw):
+        raise _Sentinel()
+
+    monkeypatch.setenv("SPARK_GRAFT_MASTER", "yarn")
+    monkeypatch.setattr(cli_mod, "get_spark", _boom)
+    with pytest.raises(_Sentinel):
+        main(["run", "--pages", "/nonexistent/pages",
+              "--workdir", "/tmp/w"])
+    assert "--pages path does not exist" not in capsys.readouterr().err
+
+
 def test_run_scheme_qualified_path_skips_local_check():
     # hdfs:// paths must NOT be rejected by the local existence check;
     # they fail later (inside Spark) — here the error must not be the

@@ -4,16 +4,28 @@ need (catches missing subpackages / stray absolute imports)."""
 
 from __future__ import annotations
 
+import importlib.util
 import os
 import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-sys.path.insert(0, os.path.join(REPO, "scripts"))
+
+
+def _load_make_submit_zip():
+    # loaded by file path, NOT via sys.path.insert at module import —
+    # a leaked scripts/ path entry could shadow same-named imports in
+    # unrelated tests for the rest of the pytest session
+    spec = importlib.util.spec_from_file_location(
+        "make_submit_zip",
+        os.path.join(REPO, "scripts", "make_submit_zip.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
 
 
 def test_zip_is_importable_standalone(tmp_path):
-    import make_submit_zip
+    make_submit_zip = _load_make_submit_zip()
 
     zip_path = str(tmp_path / "irkg.zip")
     n = make_submit_zip.build(zip_path)
@@ -39,7 +51,7 @@ def test_zip_is_importable_standalone(tmp_path):
 
 
 def test_zip_build_is_reproducible(tmp_path):
-    import make_submit_zip
+    make_submit_zip = _load_make_submit_zip()
 
     z1, z2 = str(tmp_path / "a.zip"), str(tmp_path / "b.zip")
     make_submit_zip.build(z1)

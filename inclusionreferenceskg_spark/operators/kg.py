@@ -190,43 +190,46 @@ def entity_link_pairs(kg_nodes: DataFrame, l3: DataFrame,
     (knowledge_graph.py:193-217).
     """
 
-    def star(df: DataFrame, keys) -> DataFrame:
-        # groupBy-min + join back instead of min-over-window: the window
-        # form puts an entire hot blocking key (Zipfian tokens at web
-        # scale) into ONE task, while the aggregate is map-side combined
-        # (one row per key per mapper) and the join back is an equi-join
-        # AQE can skew-split.  Null-safe equality keeps the window
-        # semantics (null keys group together) bit-for-bit.
-        left = df.alias("_sl")
-        mins = (df.groupBy(*keys).agg(F.min("kg_id").alias("a"))
-                .alias("_sm"))
-        cond = None
-        for k in keys:
-            c = F.col(f"_sl.{k}").eqNullSafe(F.col(f"_sm.{k}"))
-            cond = c if cond is None else (cond & c)
-        return (left.join(mins, cond)
-                .filter(F.col("_sl.kg_id") != F.col("_sm.a"))
-                .select(F.col("_sl.url").alias("url"), F.col("_sm.a"),
-                        F.col("_sl.kg_id").alias("b")))
+    # L1/L2/L4 fused into ONE star over a composite blocking key: each
+    # kg node contributes one row per applicable linker, tagged
+    # '<linker>\x1f<key fields>', then a single groupBy-min + join-back
+    # stars every group to its min member.  Per-group semantics are
+    # identical to running the three linkers separately; the fused form
+    # replaces three agg exchanges + three join probes of KB-scale data
+    # with one of each — the graph tail is fixed-latency-bound, so stage
+    # COUNT (not data volume) is what the scaling efficiency pays for.
+    # groupBy-min + join back instead of min-over-window: the window form
+    # puts an entire hot blocking key (Zipfian tokens at web scale) into
+    # ONE task, while the aggregate is map-side combined and the join
+    # back is an equi-join AQE can skew-split.  Null key fields are
+    # encoded as \x00 so null==null grouping (the window semantics) holds
+    # bit-for-bit.
+    def key_expr(tag: str, cols) -> F.Column:
+        parts = [F.lit(tag)] + [
+            F.coalesce(F.col(c), F.lit("\x00")) for c in cols]
+        return F.concat_ws("\x1f", *parts)
 
     # L1: same token object (same_token_linker.py:9-18) — predicates and
     # objects both carry tokens
-    l1 = star(kg_nodes.select("url", "token_key", "kg_id"), ["token_key"])
-
+    m1 = kg_nodes.select("url", "kg_id",
+                         key_expr("L1", ["token_key"]).alias("k"))
     # L2: same coref-resolved (lemma, tag) within the same Paragraph,
     # PhraseObjects only (same_lemma_in_same_paragraph_linker.py:21-54)
-    l2 = star(
-        kg_nodes.filter((F.col("kind") == "object")
-                        & F.col("para_key").isNotNull())
-        .select("url", "para_key", "coref_lemma", "coref_tag", "kg_id"),
-        ["para_key", "coref_lemma", "coref_tag"])
-
+    m2 = (kg_nodes.filter((F.col("kind") == "object")
+                          & F.col("para_key").isNotNull())
+          .select("url", "kg_id",
+                  key_expr("L2", ["para_key", "coref_lemma",
+                                  "coref_tag"]).alias("k")))
     # L4: proper nouns by (text, compound-children) surface, per document
     # (proper_noun_linker.py:12-26)
-    l4 = star(
-        kg_nodes.filter(F.col("propn_key").isNotNull())
-        .select("url", "propn_key", "kg_id"),
-        ["url", "propn_key"])
+    m4 = (kg_nodes.filter(F.col("propn_key").isNotNull())
+          .select("url", "kg_id",
+                  key_expr("L4", ["url", "propn_key"]).alias("k")))
+    members = m1.unionByName(m2).unionByName(m4)
+    mins = members.groupBy("k").agg(F.min("kg_id").alias("a"))
+    fused = (members.join(mins, "k")
+             .filter(F.col("kg_id") != F.col("a"))
+             .select("url", "a", F.col("kg_id").alias("b")))
 
     # L3: "<obj> VERB/ADJ ADP+ <ref>" — merge with same-lemma-set kg nodes
     # under the reference target's subtree (reference_linker.py:62-89);
@@ -260,7 +263,7 @@ def entity_link_pairs(kg_nodes: DataFrame, l3: DataFrame,
                    F.col("src_kg_id").alias("a"),
                    F.col("kn_kg_id").alias("b")))
 
-    return l1.unionByName(l2).unionByName(l4).unionByName(l3p).distinct()
+    return fused.unionByName(l3p).distinct()
 
 
 def _partition_union_find(batches):
@@ -362,7 +365,12 @@ def connected_components(pairs: DataFrame, max_iter: int = 12,
             rows or [("", "")], "kg_id string, canon_id string")
         if not rows:
             out = out.filter(F.lit(False))
-        return out
+        # bounded by the cutoff by construction: hint broadcast so the
+        # apply_merges/make_triples joins skip the shuffle AND the AQE
+        # size-estimation replan round (the triples join tail is
+        # fixed-latency-bound).  The distributed path below returns no
+        # hint — its canon is corpus-sized.
+        return out.hint("broadcast")
 
     aqe_was = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -489,10 +497,18 @@ def apply_merges(kg_nodes: DataFrame, kg_edges: DataFrame,
                          F.coalesce("cdst", "dst").alias("dst"),
                          "label", "attrs", "emit_seq")
                  .filter(F.col("src") != F.col("dst")))
-    w = Window.partitionBy("url", "src", "dst").orderBy(F.desc("emit_seq"))
-    return (rewritten.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .drop("rn", "emit_seq"))
+    # last-write-wins via max_by aggregate, not a row_number window: the
+    # aggregate is map-side combinable (one row per (url,src,dst) per
+    # mapper reaches the exchange) and needs no sort — the window form
+    # shuffled and sorted EVERY edge.  emit_seq is a per-document emission
+    # counter, so the max is unique and the winner deterministic.
+    return (rewritten
+            .groupBy("url", "src", "dst")
+            .agg(F.max_by(F.struct("label", "attrs"), "emit_seq")
+                 .alias("_w"))
+            .select("url", "src", "dst",
+                    F.col("_w.label").alias("label"),
+                    F.col("_w.attrs").alias("attrs")))
 
 
 def make_triples(final_edges: DataFrame, kg_nodes: DataFrame,

@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "dedup_simhash_pairs",
     "ann_cosine_topk",
+    "ann_lsh_topk_sized",
     "emb_neardup_pairs",
     "kg_nodes",
     "kg_mentions",

@@ -497,18 +497,17 @@ def apply_merges(kg_nodes: DataFrame, kg_edges: DataFrame,
                          F.coalesce("cdst", "dst").alias("dst"),
                          "label", "attrs", "emit_seq")
                  .filter(F.col("src") != F.col("dst")))
-    # last-write-wins via max_by aggregate, not a row_number window: the
-    # aggregate is map-side combinable (one row per (url,src,dst) per
-    # mapper reaches the exchange) and needs no sort — the window form
-    # shuffled and sorted EVERY edge.  emit_seq is a per-document emission
-    # counter, so the max is unique and the winner deterministic.
-    return (rewritten
-            .groupBy("url", "src", "dst")
-            .agg(F.max_by(F.struct("label", "attrs"), "emit_seq")
-                 .alias("_w"))
-            .select("url", "src", "dst",
-                    F.col("_w.label").alias("label"),
-                    F.col("_w.attrs").alias("attrs")))
+    # last-write-wins via row_number window (one shuffle + ONE sort).  A
+    # max_by aggregate looks cheaper but its buffer carries the map-typed
+    # attrs column, which disqualifies HashAggregate — Spark plans it as
+    # SortAggregate, i.e. a map-side sort AND a reduce-side sort; with
+    # near-unique (url, src, dst) keys the partial aggregation combines
+    # nothing, so the window's single sort is strictly better (verified
+    # on the physical plan).
+    w = Window.partitionBy("url", "src", "dst").orderBy(F.desc("emit_seq"))
+    return (rewritten.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn", "emit_seq"))
 
 
 def make_triples(final_edges: DataFrame, kg_nodes: DataFrame,

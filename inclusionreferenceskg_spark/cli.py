@@ -9,6 +9,8 @@ Usage (package shipped via --py-files; build the zip with
     spark-submit ... run --pages /data/pages --workdir /data/kg [--no-resume]
     spark-submit ... stream --in /data/drops --out /data/triples \\
         --checkpoint /data/ckpt
+    python -m inclusionreferenceskg_spark.cli metrics --workdir /data/kg \\
+        [--stage nodes]   # per-stage/per-partition lineage (no Spark)
 
 Locally the same surface runs as ``python -m inclusionreferenceskg_spark.cli``.
 """
@@ -47,6 +49,12 @@ def main(argv=None) -> int:
     p_stream.add_argument("--out", required=True)
     p_stream.add_argument("--checkpoint", required=True)
 
+    p_metrics = sub.add_parser(
+        "metrics", help="per-stage / per-partition lineage metrics")
+    p_metrics.add_argument("--workdir", required=True)
+    p_metrics.add_argument("--stage", default=None,
+                           help="one stage name (default: all committed)")
+
     args = ap.parse_args(argv)
     if args.cmd == "run":
         # fail fast with an argparse-style message for plain local paths
@@ -64,6 +72,26 @@ def main(argv=None) -> int:
         if ("://" not in args.pages and runs_local
                 and not os.path.exists(args.pages)):
             ap.error(f"--pages path does not exist: {args.pages}")
+
+    if args.cmd == "metrics":
+        # pure manifest read — no Spark session (works on a laptop against
+        # a synced workdir; the manifests ARE the metrics surface)
+        cat = Catalog(args.workdir)
+        stages = ([args.stage] if args.stage
+                  else sorted(cat.committed_stages()))
+        out = {}
+        for s in stages:
+            m = cat.manifest(s)
+            out[s] = {
+                "rows": m["rows"],
+                "checksum": m["checksum"],
+                "wall_ms": m["wall_ms"],
+                "n_partitions": len(m["partitions"]),
+                "partitions": m["partitions"],
+            }
+        print(json.dumps(out, indent=1))
+        return 0
+
     spark = get_spark("irkg-cli")
 
     if args.cmd == "synth":

@@ -97,3 +97,8 @@ class Catalog:
     def manifest(self, name: str) -> dict:
         with open(self._manifest_path(name)) as f:
             return json.load(f)
+
+    def committed_stages(self) -> list:
+        """Names of every stage with a committed lineage manifest."""
+        d = os.path.join(self.root, "_lineage")
+        return [f[:-5] for f in os.listdir(d) if f.endswith(".json")]

@@ -45,6 +45,30 @@ def test_run_cluster_env_skips_local_check(monkeypatch, capsys):
     assert "--pages path does not exist" not in capsys.readouterr().err
 
 
+def test_metrics_reads_manifests_without_spark(tmp_path, capsys):
+    import json
+    import os
+    lineage = tmp_path / "_lineage"
+    os.makedirs(lineage)
+    for s, rows in (("nodes", 42), ("triples", 7)):
+        with open(lineage / f"{s}.json", "w") as f:
+            json.dump({"stage": s, "rows": rows, "checksum": "abc",
+                       "wall_ms": 5,
+                       "partitions": [{"partition": "lang=en", "rows": rows}]},
+                      f)
+    rc = main(["metrics", "--workdir", str(tmp_path)])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["nodes"]["rows"] == 42
+    assert out["triples"]["n_partitions"] == 1
+    assert out["nodes"]["partitions"][0]["partition"] == "lang=en"
+
+    rc = main(["metrics", "--workdir", str(tmp_path), "--stage", "nodes"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert list(out) == ["nodes"]
+
+
 def test_run_scheme_qualified_path_skips_local_check():
     # hdfs:// paths must NOT be rejected by the local existence check;
     # they fail later (inside Spark) — here the error must not be the

@@ -233,6 +233,54 @@ def q_range_join_events(spark, sf_dir):
             .orderBy("user_id"))
 
 
+def q_pivot_status_by_nation(spark, sf_dir):
+    """Pivot (grouping-sets family): order-status counts per nation as
+    columns.  The pivot values are pinned literals — letting Spark collect
+    them would cost a driver job at plan build and make the output schema
+    data-dependent (both wrong at scale)."""
+    od = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    na = _t(spark, sf_dir, "nation")
+    j = (od.join(cu, od["o_custkey"] == cu["c_custkey"])
+         .join(F.broadcast(na), cu["c_nationkey"] == na["n_nationkey"]))
+    p = j.groupBy("n_name").pivot("o_orderstatus", ["F", "O", "P"]).count()
+    return (p.select(
+        "n_name",
+        F.coalesce(F.col("F"), F.lit(0)).cast("bigint").alias("n_f"),
+        F.coalesce(F.col("O"), F.lit(0)).cast("bigint").alias("n_o"),
+        F.coalesce(F.col("P"), F.lit(0)).cast("bigint").alias("n_p"))
+        .orderBy("n_name"))
+
+
+def q_percentile_prices(spark, sf_dir):
+    """Exact interpolated percentiles of order totals per priority.  At
+    100 TB the one-liner swap is ``approx_percentile`` (t-digest sketch,
+    mergeable map-side); the exact form is kept here because it has a
+    value-level DuckDB twin (``quantile_cont``)."""
+    od = _t(spark, sf_dir, "orders")
+    return (od.groupBy("o_orderpriority")
+            .agg(F.expr("round(percentile(o_totalprice, 0.5), 2)")
+                 .alias("p50"),
+                 F.expr("round(percentile(o_totalprice, 0.9), 2)")
+                 .alias("p90"),
+                 F.count("*").alias("n"))
+            .orderBy("o_orderpriority"))
+
+
+def q_semijoin_active_custs(spark, sf_dir):
+    """Left-semi join (EXISTS): customers that placed at least one order,
+    counted per nation.  The semi join never materializes order columns —
+    the probe side short-circuits on first match."""
+    cu = _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders").select("o_custkey")
+    na = _t(spark, sf_dir, "nation")
+    return (cu.join(od, cu["c_custkey"] == od["o_custkey"], "left_semi")
+            .join(F.broadcast(na), cu["c_nationkey"] == na["n_nationkey"])
+            .groupBy("n_name")
+            .agg(F.count("*").alias("n_active"))
+            .orderBy("n_name"))
+
+
 def q_asof_attribution(spark, sf_dir):
     """As-of join (an operator Spark lacks natively, re-expressed as a
     window composition): each purchase matched to the user's most recent
@@ -556,6 +604,9 @@ QUERIES: Dict[str, Callable] = {
     "q_except_inactive_custs": q_except_inactive_custs,
     "q_range_join_events": q_range_join_events,
     "q_suppliers_by_region": q_suppliers_by_region,
+    "q_pivot_status_by_nation": q_pivot_status_by_nation,
+    "q_percentile_prices": q_percentile_prices,
+    "q_semijoin_active_custs": q_semijoin_active_custs,
     "q_asof_attribution": q_asof_attribution,
     "docs_source_composition": docs_source_composition,
     "docs_token_counts": docs_token_counts,
@@ -1173,6 +1224,33 @@ ORACLES["docs_decontaminate"] = f"""
     select g.doc_id, count(*) as n_hit_grams
     from g join b using (gram) where not g.bench
     group by g.doc_id order by g.doc_id"""
+
+ORACLES["q_pivot_status_by_nation"] = """
+    select n_name,
+           cast(sum(case when o_orderstatus = 'F' then 1 else 0 end)
+               as bigint) as n_f,
+           cast(sum(case when o_orderstatus = 'O' then 1 else 0 end)
+               as bigint) as n_o,
+           cast(sum(case when o_orderstatus = 'P' then 1 else 0 end)
+               as bigint) as n_p
+    from orders
+    join customer on o_custkey = c_custkey
+    join nation on c_nationkey = n_nationkey
+    group by n_name order by n_name"""
+
+ORACLES["q_percentile_prices"] = """
+    select o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 2) as p50,
+           round(quantile_cont(o_totalprice, 0.9), 2) as p90,
+           count(*) as n
+    from orders group by o_orderpriority order by o_orderpriority"""
+
+ORACLES["q_semijoin_active_custs"] = """
+    select n_name, count(*) as n_active
+    from customer
+    join nation on c_nationkey = n_nationkey
+    where exists (select 1 from orders where o_custkey = c_custkey)
+    group by n_name order by n_name"""
 
 ORACLES["q_suppliers_by_region"] = """
     select r_name, count(*) as n_suppliers,

@@ -33,7 +33,7 @@ import hashlib
 import itertools
 from typing import Dict, List, Optional, Sequence
 
-from inclusionreferenceskg_spark.functions.annotate import annotate_text
+from inclusionreferenceskg_spark.functions.annotate_spacy import get_annotator
 from inclusionreferenceskg_spark.functions.doctree import DEPTH
 from inclusionreferenceskg_spark.functions.phrases import (
     Phrase,
@@ -100,7 +100,7 @@ def render_document(url: str, node_rows: List[Dict],
         ends.append(pos)
     raw_text = "".join(parts)
 
-    sents = annotate_text(raw_text, doc_mentions)
+    sents = get_annotator()(raw_text, doc_mentions)
     doc = [t for s in sents for t in s]
 
     def node_of(tok: Tok) -> Dict:

@@ -41,4 +41,12 @@ def get_spark(app_name: str = "inclusionreferenceskg-spark",
         .config("spark.driver.memory",
                 os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
+    # The annotator is selected per executor process inside the pandas UDFs
+    # (functions/annotate_spacy.get_annotator reads these), so a driver-side
+    # env choice must ride spark.executorEnv to reach a real cluster; in
+    # local mode executors inherit the driver env and this is a no-op.
+    for env_key in ("IRKG_ANNOTATOR", "IRKG_SPACY_MODEL"):
+        if os.environ.get(env_key):
+            builder = builder.config(
+                f"spark.executorEnv.{env_key}", os.environ[env_key])
     return builder.getOrCreate()

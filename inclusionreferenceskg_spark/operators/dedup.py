@@ -345,3 +345,102 @@ def neardup_clusters(documents: DataFrame, threshold: float = 0.5,
             break
     return sized(labels.select(F.col("n").alias("doc_id"),
                                F.col("lbl").alias("canon_id")))
+
+
+# --- chunk-level exact dedup (the line/paragraph dedup of C4/CCNet) ---------
+
+CHUNK_W = 20  # words per chunk; the paragraph analog for single-line docs
+
+
+def _chunks_expr(width: int):
+    """Column expr: the normalized text as an array of ``width``-word
+    chunks — a narrow ``transform(sequence, slice)`` fully inside
+    whole-stage codegen (the tail chunk may be shorter)."""
+    return F.expr(
+        f"transform(sequence(0, cast(ceil(size(split(trim(regexp_replace("
+        f"lower(text), '\\\\s+', ' ')), ' ')) / {width}) as int) - 1), "
+        f"i -> concat_ws(' ', slice(split(trim(regexp_replace(lower(text), "
+        f"'\\\\s+', ' ')), ' '), i * {width} + 1, {width})))")
+
+
+def chunk_dedup(documents: DataFrame, width: int = CHUNK_W) -> DataFrame:
+    """Line/paragraph-level exact dedup, the sub-document stage every
+    web-text pipeline runs before model training (C4 drops duplicate
+    three-sentence spans; CCNet dedups on paragraph hashes).  The synthetic
+    corpus is single-line, so the "paragraph" unit is a fixed ``width``-word
+    chunk of the normalized text — the semantics (global first-occurrence
+    wins, later occurrences dropped, document reassembled from its kept
+    chunks) are exactly the production ones.
+
+    Plan shape, sized for 100 TB:
+
+    1. chunking is a narrow per-row ``transform(sequence(...), slice(...))``
+       inside whole-stage codegen — no shuffle, no Python;
+    2. first-occurrence is ``groupBy(hash).agg(min(rank))`` — ONE shuffle
+       with map-side partial aggregation (a boilerplate chunk repeated 10^9
+       times still contributes one row per map task);
+    3. kept-occurrence test is an equi-join of the exploded chunks against
+       that per-hash minimum — AQE skew-join splits hot boilerplate hashes;
+    4. reassembly is ``groupBy(doc_id)`` over (pos, chunk) structs — one
+       shuffle keyed by the uniform doc_id.
+
+    Occurrence rank is ``doc_id * 2^20 + pos`` (pos < 2^20 asserted by
+    construction at any real page size), totally ordering occurrences by
+    (doc_id, pos) in a single BIGINT that DuckDB reproduces verbatim.
+    Output: one row per document with chunk counts, the kept ratio, and the
+    md5 of the reassembled kept text ('' when every chunk was seen earlier).
+    """
+    occ = (documents
+           .select(F.col("doc_id"),
+                   F.posexplode(_chunks_expr(width)).alias("pos", "chunk"))
+           .select("doc_id", "pos", "chunk",
+                   F.md5("chunk").alias("h"),
+                   (F.col("doc_id") * F.lit(1 << 20) + F.col("pos"))
+                   .alias("rnk")))
+    firsts = occ.groupBy("h").agg(F.min("rnk").alias("first_rnk"))
+    kept = (occ.join(firsts, "h")
+            .withColumn("kept", F.col("rnk") == F.col("first_rnk")))
+    return (kept.groupBy("doc_id")
+            .agg(F.count("*").alias("n_chunks"),
+                 F.sum(F.col("kept").cast("int")).alias("n_kept"),
+                 F.md5(F.concat_ws(" ", F.transform(
+                     F.array_sort(F.collect_list(F.when(
+                         F.col("kept"),
+                         F.struct(F.col("pos"), F.col("chunk"))))),
+                     lambda s: s.chunk))).alias("kept_md5"))
+            .withColumn("kept_ratio",
+                        F.round(F.col("n_kept") / F.col("n_chunks"), 6))
+            .select("doc_id", "n_chunks", "n_kept", "kept_ratio", "kept_md5"))
+
+
+def boilerplate_by_source(documents: DataFrame,
+                          width: int = CHUNK_W) -> DataFrame:
+    """Per-source boilerplate diagnostic: the share of a source's chunk
+    occurrences whose chunk also appears in at least one OTHER document of
+    the same source (headers, navigation, license banners — the stuff
+    C4/CCNet strip before training).  Web pipelines run exactly this table
+    per host to decide which sites need template stripping.
+
+    Scale shape: chunking is narrow (``_chunks_expr``); the only wide stage
+    is ``groupBy(source, chunk-hash)`` with map-side combine — a chunk
+    repeated across a million pages of one host still reduces to one row
+    per map task before the shuffle; the per-source rollup then groups a
+    table that is already ≤ |distinct chunks| on the uniform source key.
+    """
+    occ = documents.select(
+        F.col("source"), F.col("doc_id"),
+        F.explode(_chunks_expr(width)).alias("chunk"))
+    per_hash = (occ
+                .groupBy("source", F.md5("chunk").alias("h"))
+                .agg(F.count("*").alias("n_occ"),
+                     F.countDistinct("doc_id").alias("n_docs_with")))
+    return (per_hash
+            .groupBy("source")
+            .agg(F.sum("n_occ").alias("n_chunks"),
+                 F.sum(F.when(F.col("n_docs_with") >= 2, F.col("n_occ"))
+                       .otherwise(F.lit(0))).alias("n_boiler"),
+                 F.count("*").alias("n_distinct_chunks"))
+            .withColumn("boiler_ratio",
+                        F.round(F.col("n_boiler") / F.col("n_chunks"), 6))
+            .select("source", "n_chunks", "n_distinct_chunks", "n_boiler",
+                    "boiler_ratio"))

@@ -449,6 +449,22 @@ def dedup_clusters(spark, sf_dir):
         threshold=0.2).orderBy("doc_id")
 
 
+def dedup_chunks(spark, sf_dir):
+    """Sub-document (line/paragraph-level) exact dedup — C4/CCNet's
+    pre-training stage: global first occurrence of each chunk wins, later
+    occurrences are dropped, documents reassemble from their kept chunks."""
+    return dedup.chunk_dedup(
+        _t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def docs_boilerplate_by_source(spark, sf_dir):
+    """Per-source boilerplate share: fraction of a source's chunk
+    occurrences repeated across >=2 of its documents — the per-host table
+    web pipelines use to decide which sites need template stripping."""
+    return dedup.boilerplate_by_source(
+        _t(spark, sf_dir, "documents")).orderBy("source")
+
+
 def ann_cosine_topk(spark, sf_dir):
     return similarity.cosine_topk(
         _t(spark, sf_dir, "embeddings")).orderBy("query_id", "rank")
@@ -628,6 +644,8 @@ QUERIES: Dict[str, Callable] = {
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_clusters": dedup_clusters,
+    "dedup_chunks": dedup_chunks,
+    "docs_boilerplate_by_source": docs_boilerplate_by_source,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_lsh_topk_sized": ann_lsh_topk_sized,
@@ -780,6 +798,56 @@ def _ngram_jaccard_sql() -> str:
         " sb.doc_id = b"
         " where cast(len(list_intersect(sa.sh, sb.sh)) as double) /"
         " len(list_distinct(sa.sh || sb.sh)) >= 0.2 order by a, b")
+
+
+def _chunk_dedup_sql(width: int = 20) -> str:
+    """DuckDB twin of ``dedup.chunk_dedup``: same chunking (fixed
+    ``width``-word windows over the normalized text), same occurrence rank
+    (``doc_id * 2^20 + pos``), same first-occurrence-wins rule, same
+    reassembled-text md5 ('' when every chunk was seen earlier)."""
+    return (
+        # pos comes from a lateral unnest(range(...)); the chunk text is
+        # sliced in the OUTER select because duckdb 1.0's binder rejects a
+        # correlated column inside a lambda struct literal
+        f"with d as (select doc_id, {_NORM} as t from documents),"
+        " pc as (select doc_id, cast(u.i as int) as pos,"
+        "  array_to_string(string_split(t, ' ')"
+        f"   [(u.i*{width}+1):(u.i*{width}+{width})], ' ') as chunk"
+        " from d, lateral (select unnest(range(0, cast(ceil("
+        f"  len(string_split(t, ' ')) / {width}.0) as bigint))) as i) u),"
+        " occ as (select doc_id, pos, chunk, md5(chunk) as h,"
+        "  doc_id * 1048576 + pos as rnk from pc),"
+        " f as (select h, min(rnk) as first_rnk from occ group by h),"
+        " k as (select occ.doc_id, occ.pos, occ.chunk,"
+        "  occ.rnk = f.first_rnk as kept from occ join f using (h))"
+        " select doc_id, count(*) as n_chunks,"
+        " cast(sum(case when kept then 1 else 0 end) as bigint) as n_kept,"
+        " round(cast(sum(case when kept then 1 else 0 end) as double)"
+        "  / count(*), 6) as kept_ratio,"
+        " md5(coalesce(string_agg(chunk, ' ' order by pos)"
+        "  filter (where kept), '')) as kept_md5"
+        " from k group by doc_id order by doc_id")
+
+
+def _boilerplate_sql(width: int = 20) -> str:
+    """DuckDB twin of ``dedup.boilerplate_by_source`` (same chunking CTE
+    as ``_chunk_dedup_sql``)."""
+    return (
+        f"with d as (select doc_id, source, {_NORM} as t from documents),"
+        " pc as (select doc_id, source, array_to_string(string_split(t, ' ')"
+        f"  [(u.i*{width}+1):(u.i*{width}+{width})], ' ') as chunk"
+        " from d, lateral (select unnest(range(0, cast(ceil("
+        f"  len(string_split(t, ' ')) / {width}.0) as bigint))) as i) u),"
+        " ph as (select source, md5(chunk) as h, count(*) as n_occ,"
+        "  count(distinct doc_id) as n_docs_with"
+        "  from pc group by source, md5(chunk))"
+        " select source, cast(sum(n_occ) as bigint) as n_chunks,"
+        " count(*) as n_distinct_chunks,"
+        " cast(sum(case when n_docs_with >= 2 then n_occ else 0 end)"
+        "  as bigint) as n_boiler,"
+        " round(cast(sum(case when n_docs_with >= 2 then n_occ else 0 end)"
+        "  as double) / sum(n_occ), 6) as boiler_ratio"
+        " from ph group by source order by source")
 
 
 def _neardup_clusters_sql() -> str:
@@ -1068,6 +1136,8 @@ ORACLES: Dict[str, str] = {
     "dedup_simhash_pairs": _simhash_pairs_sql(),
     "dedup_ngram_jaccard": _ngram_jaccard_sql(),
     "dedup_clusters": _neardup_clusters_sql(),
+    "dedup_chunks": _chunk_dedup_sql(),
+    "docs_boilerplate_by_source": _boilerplate_sql(),
     "ann_cosine_topk": _ann_cosine_sql(),
     "ann_lsh_topk": _ann_lsh_sql(),
     "ann_lsh_topk_sized": _ann_lsh_sql(_sized_planes()),

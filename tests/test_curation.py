@@ -83,3 +83,46 @@ def test_stratified_sample_deterministic(spark):
     again = curation.stratified_sample(d, per_stratum=2).collect()
     assert sorted(r["doc_id"] for r in out) == \
         sorted(r["doc_id"] for r in again)
+
+
+def test_chunk_dedup_first_occurrence_wins(spark):
+    from inclusionreferenceskg_spark.operators.dedup import chunk_dedup
+    # width=3: doc 0 = [A B], doc 1 = [B C], doc 2 = [A A] (internal dup)
+    a, b, c = "w1 w2 w3", "x1 x2 x3", "y1 y2 y3"
+    d = _docs(spark, [(0, f"{a} {b}"), (1, f"{b} {c}"), (2, f"{a} {a}")])
+    rows = {r.doc_id: r for r in chunk_dedup(d, width=3).collect()}
+    assert (rows[0].n_chunks, rows[0].n_kept) == (2, 2)  # first sees both
+    assert (rows[1].n_chunks, rows[1].n_kept) == (2, 1)  # B already seen
+    assert (rows[2].n_chunks, rows[2].n_kept) == (2, 0)  # A seen in doc 0
+    import hashlib
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert rows[0].kept_md5 == md5(f"{a} {b}")
+    assert rows[1].kept_md5 == md5(c)
+    assert rows[2].kept_md5 == md5("")  # fully-duplicate doc reassembles empty
+    assert rows[2].kept_ratio == 0.0 and rows[0].kept_ratio == 1.0
+
+
+def test_chunk_dedup_partial_tail_chunk(spark):
+    from inclusionreferenceskg_spark.operators.dedup import chunk_dedup
+    # 5 words at width=3 -> chunks of 3 and 2; whitespace is normalized
+    d = _docs(spark, [(0, "  p1  p2 p3   p4 p5 ")])
+    row = chunk_dedup(d, width=3).collect()[0]
+    assert (row.n_chunks, row.n_kept) == (2, 2)
+    import hashlib
+    assert row.kept_md5 == hashlib.md5(b"p1 p2 p3 p4 p5").hexdigest()
+
+
+def test_boilerplate_by_source_counts(spark):
+    from inclusionreferenceskg_spark.operators.dedup import (
+        boilerplate_by_source)
+    # srcA: chunk "h1 h2 h3" shared by both docs (boilerplate), tails unique;
+    # srcB: same chunk appears once only -> NOT boilerplate there
+    rows = [(0, "h1 h2 h3 a1 a2 a3", "srcA"), (1, "h1 h2 h3 b1 b2 b3", "srcA"),
+            (2, "h1 h2 h3 c1 c2 c3", "srcB")]
+    d = spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, t, s in rows], DOCS_SCHEMA)
+    out = {r.source: r for r in boilerplate_by_source(d, width=3).collect()}
+    a, b = out["srcA"], out["srcB"]
+    assert (a.n_chunks, a.n_distinct_chunks, a.n_boiler) == (4, 3, 2)
+    assert a.boiler_ratio == 0.5
+    assert (b.n_chunks, b.n_boiler) == (2, 0)

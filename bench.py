@@ -50,6 +50,8 @@ BENCH_QUERIES = [
     "dedup_minhash_pairs",
     "dedup_simhash",
     "dedup_simhash_pairs",
+    "dedup_chunks",
+    "docs_boilerplate_by_source",
     "ann_cosine_topk",
     "ann_lsh_topk_sized",
     "emb_neardup_pairs",

@@ -108,3 +108,14 @@ def test_ann_cap_not_window_over_bucket(spark, name):
     plan = _plan(spark, name)
     assert "windowspecdefinition(bucket" not in plan, name
     assert "windowspecdefinition(cell_id" not in plan, name
+
+
+@pytest.mark.parametrize("name", ["dedup_chunks",
+                                  "docs_boilerplate_by_source"])
+def test_chunk_ops_no_window(spark, name):
+    # first-occurrence / boilerplate tests must be groupBy aggregates plus
+    # an equi-join — a window over the chunk hash would funnel every
+    # occurrence of a hot boilerplate chunk into one sort task
+    plan = _plan(spark, name)
+    assert "Window" not in plan, name
+    assert "HashAggregate" in plan, name

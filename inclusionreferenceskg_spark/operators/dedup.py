@@ -444,3 +444,29 @@ def boilerplate_by_source(documents: DataFrame,
                         F.round(F.col("n_boiler") / F.col("n_chunks"), 6))
             .select("source", "n_chunks", "n_distinct_chunks", "n_boiler",
                     "boiler_ratio"))
+
+
+def incremental_new_docs(new_docs: DataFrame,
+                         seen_hashes: DataFrame) -> DataFrame:
+    """Cross-snapshot incremental dedup: the monthly-crawl refresh
+    pattern — keep only new-snapshot documents whose normalized-text hash
+    has never been seen in any prior snapshot.
+
+    ``seen_hashes`` is a one-column (``text_hash``) table, typically the
+    materialized output of ``exact_duplicates`` over all prior snapshots
+    (the lineage-manifest catalog makes it a plain parquet scan).  The
+    plan is a LEFT ANTI join on the hash — one shuffle each side, map-side
+    combinable on neither but AQE-skew-splittable, and Spark broadcasts
+    the seen side automatically when a young corpus keeps it small.  At
+    10^12 documents the seen table is the big side; the anti join on the
+    uniform md5 key is the canonical shape (a Bloom filter would only
+    *pre*-filter the same join, trading false-positive re-checks for
+    shuffle volume, and Spark 3.3+ injects exactly that runtime filter
+    itself when beneficial).
+    """
+    hashed = new_docs.withColumn(
+        "text_hash", F.md5(norm_text(F.col("text"))))
+    return (hashed
+            .join(seen_hashes.select("text_hash").distinct(),
+                  "text_hash", "left_anti")
+            .select("doc_id", "text_hash"))

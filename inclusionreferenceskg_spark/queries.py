@@ -457,6 +457,18 @@ def dedup_chunks(spark, sf_dir):
         _t(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
+def dedup_incremental(spark, sf_dir):
+    """Cross-snapshot refresh: docs with even doc_id stand in for the
+    already-ingested snapshot; the catalog entry keeps only odd-snapshot
+    docs whose normalized-text hash no prior doc had (LEFT ANTI on md5)."""
+    from inclusionreferenceskg_spark.operators.textstats import norm_text
+    docs = _t(spark, sf_dir, "documents")
+    seen = (docs.filter(F.col("doc_id") % 2 == 0)
+            .select(F.md5(norm_text(F.col("text"))).alias("text_hash")))
+    return dedup.incremental_new_docs(
+        docs.filter(F.col("doc_id") % 2 == 1), seen).orderBy("doc_id")
+
+
 def docs_boilerplate_by_source(spark, sf_dir):
     """Per-source boilerplate share: fraction of a source's chunk
     occurrences repeated across >=2 of its documents — the per-host table
@@ -646,6 +658,7 @@ QUERIES: Dict[str, Callable] = {
     "dedup_clusters": dedup_clusters,
     "dedup_chunks": dedup_chunks,
     "docs_boilerplate_by_source": docs_boilerplate_by_source,
+    "dedup_incremental": dedup_incremental,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_lsh_topk_sized": ann_lsh_topk_sized,
@@ -827,6 +840,19 @@ def _chunk_dedup_sql(width: int = 20) -> str:
         " md5(coalesce(string_agg(chunk, ' ' order by pos)"
         "  filter (where kept), '')) as kept_md5"
         " from k group by doc_id order by doc_id")
+
+
+def _incremental_sql() -> str:
+    """DuckDB twin of ``dedup.incremental_new_docs`` with the catalog's
+    even/odd snapshot split."""
+    return (
+        f"with h as (select doc_id, md5({_NORM}) as text_hash"
+        " from documents),"
+        " seen as (select distinct text_hash from h where doc_id % 2 = 0)"
+        " select doc_id, text_hash from h"
+        " where doc_id % 2 = 1"
+        " and text_hash not in (select text_hash from seen)"
+        " order by doc_id")
 
 
 def _boilerplate_sql(width: int = 20) -> str:
@@ -1138,6 +1164,7 @@ ORACLES: Dict[str, str] = {
     "dedup_clusters": _neardup_clusters_sql(),
     "dedup_chunks": _chunk_dedup_sql(),
     "docs_boilerplate_by_source": _boilerplate_sql(),
+    "dedup_incremental": _incremental_sql(),
     "ann_cosine_topk": _ann_cosine_sql(),
     "ann_lsh_topk": _ann_lsh_sql(),
     "ann_lsh_topk_sized": _ann_lsh_sql(_sized_planes()),

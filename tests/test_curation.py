@@ -126,3 +126,15 @@ def test_boilerplate_by_source_counts(spark):
     assert (a.n_chunks, a.n_distinct_chunks, a.n_boiler) == (4, 3, 2)
     assert a.boiler_ratio == 0.5
     assert (b.n_chunks, b.n_boiler) == (2, 0)
+
+
+def test_incremental_new_docs_anti_join(spark):
+    from inclusionreferenceskg_spark.operators.dedup import (
+        incremental_new_docs)
+    seen_src = _docs(spark, [(0, "alpha beta"), (1, "gamma delta")])
+    from inclusionreferenceskg_spark.operators.dedup import exact_duplicates
+    seen = exact_duplicates(seen_src).select("text_hash")
+    # doc 10 duplicates doc 0 (post-normalization), doc 11 is new
+    new = _docs(spark, [(10, "  ALPHA   beta "), (11, "epsilon zeta")])
+    out = incremental_new_docs(new, seen).collect()
+    assert [r.doc_id for r in out] == [11]

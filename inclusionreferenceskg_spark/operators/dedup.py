@@ -42,6 +42,29 @@ def exact_duplicates(documents: DataFrame) -> DataFrame:
             .filter(F.col("n_copies") >= 1))
 
 
+def keep_best_canonical(documents: DataFrame) -> DataFrame:
+    """Exact-dedup canonicalization that keeps the BEST copy per duplicate
+    group instead of an arbitrary one: the longest document (max
+    ``n_chars``), ties broken by min ``doc_id``.  The arg-max rides a
+    lexicographic ``max(struct(n_chars, -doc_id))`` inside a single hash
+    aggregation — full map-side combine, no join-back and no window (a
+    window over a hot boilerplate hash would sort the entire group in one
+    task).  This is the training-data twin of the reference's "one
+    canonical node per equivalence class" merge rule (reference
+    ``kg_creation/knowledge_graph.py:64`` ``merge``) applied at corpus
+    scale."""
+    h = F.md5(norm_text(F.col("text")))
+    best = F.max(F.struct(F.col("n_chars").alias("n_chars"),
+                          (-F.col("doc_id")).alias("neg_id")))
+    return (documents
+            .select(h.alias("text_hash"), "doc_id", "n_chars")
+            .groupBy("text_hash")
+            .agg(best.alias("b"), F.count("*").alias("group_size"))
+            .select((-F.col("b.neg_id")).alias("keep_doc_id"),
+                    F.col("b.n_chars").alias("n_chars"),
+                    F.col("group_size")))
+
+
 def _shingle_array():
     """Column expr: the k-word shingle array of the normalized text."""
     return F.expr(

@@ -233,6 +233,37 @@ def q_range_join_events(spark, sf_dir):
             .orderBy("user_id"))
 
 
+def q_funnel_conversion(spark, sf_dir):
+    """Ordered conversion funnel over the event stream: first view →
+    first click at-or-after that view → first purchase at-or-after that
+    click.  Three stage aggregations, all keyed on ``user_id`` so the
+    exchange is reusable across stages; each stage output is one row per
+    converting user, so the stage-to-stage joins stay far smaller than the
+    event table at any scale (AQE turns them into broadcasts when the
+    funnel narrows).  Output is ONE summary row: stage counts plus rounded
+    conversion rates."""
+    ev = _t(spark, sf_dir, "events")
+    v = (ev.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("t_view")))
+    c = (ev.filter(F.col("event_type") == "click")
+         .join(v, "user_id")
+         .filter(F.col("ts") >= F.col("t_view"))
+         .groupBy("user_id").agg(F.min("ts").alias("t_click")))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .join(c, "user_id")
+         .filter(F.col("ts") >= F.col("t_click"))
+         .groupBy("user_id").agg(F.min("ts").alias("t_buy")))
+    nv = v.agg(F.count("*").alias("n_viewed"))
+    nc = c.agg(F.count("*").alias("n_clicked"))
+    npu = p.agg(F.count("*").alias("n_purchased"))
+    return (nv.crossJoin(nc).crossJoin(npu)
+            .select("n_viewed", "n_clicked", "n_purchased",
+                    F.round(F.expr("n_clicked / nullif(n_viewed, 0)"), 4)
+                    .alias("view_to_click"),
+                    F.round(F.expr("n_purchased / nullif(n_clicked, 0)"), 4)
+                    .alias("click_to_buy")))
+
+
 def q_pivot_status_by_nation(spark, sf_dir):
     """Pivot (grouping-sets family): order-status counts per nation as
     columns.  The pivot values are pinned literals — letting Spark collect
@@ -412,6 +443,14 @@ def corpus_curated_staged(spark, sf_dir):
 def dedup_exact(spark, sf_dir):
     return dedup.exact_duplicates(
         _t(spark, sf_dir, "documents")).orderBy("text_hash")
+
+
+def dedup_keep_best(spark, sf_dir):
+    """Keep-best exact-dedup canonicalization: per normalized-text group,
+    keep the longest copy (ties → min doc_id) via a lexicographic struct
+    max — one shuffle, no window over potentially-hot hash groups."""
+    return dedup.keep_best_canonical(
+        _t(spark, sf_dir, "documents")).orderBy("keep_doc_id")
 
 
 def dedup_minhash_signatures(spark, sf_dir):
@@ -636,6 +675,7 @@ QUERIES: Dict[str, Callable] = {
     "q_percentile_prices": q_percentile_prices,
     "q_semijoin_active_custs": q_semijoin_active_custs,
     "q_asof_attribution": q_asof_attribution,
+    "q_funnel_conversion": q_funnel_conversion,
     "docs_source_composition": docs_source_composition,
     "docs_token_counts": docs_token_counts,
     "docs_quality": docs_quality,
@@ -650,6 +690,7 @@ QUERIES: Dict[str, Callable] = {
     "docs_decontaminate": docs_decontaminate,
     "docs_stratified_sample": docs_stratified_sample,
     "dedup_exact": dedup_exact,
+    "dedup_keep_best": dedup_keep_best,
     "dedup_minhash_signatures": dedup_minhash_signatures,
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "dedup_simhash": dedup_simhash,
@@ -1155,6 +1196,33 @@ ORACLES: Dict[str, str] = {
         select md5({_NORM}) as text_hash, min(doc_id) as keep_doc_id,
                count(*) as n_copies
         from documents group by 1 order by text_hash""",
+    "dedup_keep_best": f"""
+        with n as (select doc_id, n_chars, md5({_NORM}) as h from documents),
+        r as (select h, doc_id, n_chars,
+              row_number() over (partition by h
+                  order by n_chars desc, doc_id asc) as rk from n),
+        g as (select h, count(*) as group_size from n group by h)
+        select r.doc_id as keep_doc_id, r.n_chars, g.group_size
+        from r join g on r.h = g.h
+        where r.rk = 1 order by keep_doc_id""",
+    "q_funnel_conversion": """
+        with v as (select user_id, min(ts) as t_view from events
+                   where event_type = 'view' group by user_id),
+        c as (select e.user_id, min(e.ts) as t_click from events e
+              join v on e.user_id = v.user_id
+              where e.event_type = 'click' and e.ts >= v.t_view
+              group by e.user_id),
+        p as (select e.user_id, min(e.ts) as t_buy from events e
+              join c on e.user_id = c.user_id
+              where e.event_type = 'purchase' and e.ts >= c.t_click
+              group by e.user_id)
+        select (select count(*) from v) as n_viewed,
+               (select count(*) from c) as n_clicked,
+               (select count(*) from p) as n_purchased,
+               round((select count(*) from c)
+                   / nullif((select count(*) from v), 0), 4) as view_to_click,
+               round((select count(*) from p)
+                   / nullif((select count(*) from c), 0), 4) as click_to_buy""",
     "dedup_minhash_signatures":
         _minhash_sig_sql() + " order by doc_id",
     "dedup_minhash_pairs": _minhash_pairs_sql(),

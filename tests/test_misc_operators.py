@@ -69,3 +69,48 @@ def test_ivf_partition_and_full_probe_exactness(spark):
     full_probe = similarity.ann_ivf_topk(
         emb, n_queries=3, k=5, n_cells=8, n_probe=8).collect()
     assert sorted(map(tuple, full_probe)) == sorted(map(tuple, exact))
+
+
+def test_keep_best_canonical_semantics(spark):
+    from inclusionreferenceskg_spark.operators.dedup import (
+        keep_best_canonical)
+    docs = spark.createDataFrame(
+        [  # group A: 3 copies, longest wins
+            (1, "same Text", 9),
+            (2, "same  text", 42),
+            (3, "SAME TEXT", 42),   # tie on n_chars -> min doc_id (2)
+            (4, "unique", 6),
+        ],
+        "doc_id long, text string, n_chars long")
+    rows = {r["keep_doc_id"]: (r["n_chars"], r["group_size"])
+            for r in keep_best_canonical(docs).collect()}
+    assert rows == {2: (42, 3), 4: (6, 1)}
+
+
+def test_funnel_conversion_semantics(spark, tmp_path):
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1)
+    s = lambda k: base + dt.timedelta(seconds=k)
+    ev = spark.createDataFrame(
+        [  # user 1 full funnel; user 2 clicks BEFORE viewing (no convert);
+           # user 3 views only
+            (0, s(0), 1, "view", 0.0, "{}"),
+            (1, s(5), 1, "click", 0.0, "{}"),
+            (2, s(9), 1, "purchase", 0.0, "{}"),
+            (3, s(0), 2, "click", 0.0, "{}"),
+            (4, s(5), 2, "view", 0.0, "{}"),
+            (5, s(1), 3, "view", 0.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string")
+    p = str(tmp_path / "events.parquet")
+    ev.coalesce(1).write.parquet(p)
+    from inclusionreferenceskg_spark import queries as q
+    import os
+    # point the loader at the temp dir by writing the expected layout
+    d = str(tmp_path)
+    os.rename(p, os.path.join(d, "events.parquet.dir"))
+    os.rename(os.path.join(d, "events.parquet.dir"), os.path.join(d, "events.parquet"))
+    row = q.q_funnel_conversion(spark, d).first()
+    assert (row["n_viewed"], row["n_clicked"], row["n_purchased"]) \
+        == (3, 1, 1)

@@ -25,7 +25,9 @@ SF_DIR = "/root/testdata/sf0.001"
 #: side is bounded by construction — the literal top-k query set
 #: (ann_cosine_topk) or the one-row collapsed centroid array whose width is
 #: the n_cells parameter (ann_ivf_topk) — never table-sized data
-_BNLJ_ALLOWED = {"ann_cosine_topk", "ann_ivf_topk"}
+#: q_funnel_conversion cross-joins three single-row global aggregates to
+#: assemble its one summary row — bounded by construction
+_BNLJ_ALLOWED = {"ann_cosine_topk", "ann_ivf_topk", "q_funnel_conversion"}
 
 #: kg_* queries run the pipeline (mapInPandas heavy); their plan audit is
 #: the pipeline's own (localCheckpoint lineage makes explain uninformative)
@@ -108,6 +110,17 @@ def test_ann_cap_not_window_over_bucket(spark, name):
     plan = _plan(spark, name)
     assert "windowspecdefinition(bucket" not in plan, name
     assert "windowspecdefinition(cell_id" not in plan, name
+
+
+def test_keep_best_is_struct_max_not_window(spark):
+    # the keep-best arg-max must be a lexicographic struct max inside the
+    # hash aggregation — a row_number window partitioned by the text hash
+    # would sort a hot boilerplate group in one task
+    plan = _plan(spark, "dedup_keep_best")
+    assert "Window" not in plan
+    # max(struct) lowers to SortAggregate (struct has no mutable hash-agg
+    # buffer) — what matters for scale is the map-side partial combine
+    assert "partial_max" in plan
 
 
 @pytest.mark.parametrize("name", ["dedup_chunks",

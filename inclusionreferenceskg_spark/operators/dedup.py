@@ -370,6 +370,36 @@ def neardup_clusters(documents: DataFrame, threshold: float = 0.5,
                                F.col("lbl").alias("canon_id")))
 
 
+def neardup_keep_best(documents: DataFrame,
+                      threshold: float = 0.5) -> DataFrame:
+    """The production endpoint of near-dup dedup: the SURVIVING corpus.
+    Every near-dup cluster collapses to its best member (max ``n_chars``,
+    ties → min ``doc_id``); documents in no cluster survive as themselves.
+    Output ``(rep_id, rep_chars, n_members)``.
+
+    Scale shape: the cluster table is O(near-duplicates) ≪ corpus, so the
+    member join and the arg-max aggregation run on the small side; the
+    survivors anti-join is corpus × small-right, which AQE plans as a
+    broadcast anti join.  The arg-max is the same lexicographic struct max
+    as ``keep_best_canonical`` — no window over a hot cluster id."""
+    clusters = neardup_clusters(documents, threshold)
+    docs = documents.select("doc_id", "n_chars")
+    mem = clusters.select("doc_id", "canon_id").join(docs, "doc_id")
+    best = (mem.groupBy("canon_id")
+            .agg(F.max(F.struct(F.col("n_chars").alias("n_chars"),
+                                (-F.col("doc_id")).alias("neg_id")))
+                 .alias("b"),
+                 F.count("*").alias("n_members"))
+            .select((-F.col("b.neg_id")).alias("rep_id"),
+                    F.col("b.n_chars").alias("rep_chars"),
+                    F.col("n_members")))
+    singles = (docs.join(clusters.select("doc_id"), "doc_id", "left_anti")
+               .select(F.col("doc_id").alias("rep_id"),
+                       F.col("n_chars").alias("rep_chars"),
+                       F.lit(1).cast("bigint").alias("n_members")))
+    return best.unionByName(singles)
+
+
 # --- chunk-level exact dedup (the line/paragraph dedup of C4/CCNet) ---------
 
 CHUNK_W = 20  # words per chunk; the paragraph analog for single-line docs

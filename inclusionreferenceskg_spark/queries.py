@@ -488,6 +488,15 @@ def dedup_clusters(spark, sf_dir):
         threshold=0.2).orderBy("doc_id")
 
 
+def dedup_cluster_reps(spark, sf_dir):
+    """Surviving corpus after near-dup dedup: each cluster collapses to
+    its longest member (ties → min doc_id), singletons survive as
+    themselves — the stage a training-data pipeline actually materializes
+    downstream of `dedup_clusters`."""
+    return dedup.neardup_keep_best(
+        _t(spark, sf_dir, "documents"), threshold=0.2).orderBy("rep_id")
+
+
 def dedup_chunks(spark, sf_dir):
     """Sub-document (line/paragraph-level) exact dedup — C4/CCNet's
     pre-training stage: global first occurrence of each chunk wins, later
@@ -697,6 +706,7 @@ QUERIES: Dict[str, Callable] = {
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_clusters": dedup_clusters,
+    "dedup_cluster_reps": dedup_cluster_reps,
     "dedup_chunks": dedup_chunks,
     "docs_boilerplate_by_source": docs_boilerplate_by_source,
     "dedup_incremental": dedup_incremental,
@@ -933,6 +943,26 @@ def _neardup_clusters_sql() -> str:
         " group by n) "
         "select doc_id, canon_id, cast(count(*) over (partition by"
         " canon_id) as bigint) as cluster_size from canon order by doc_id")
+
+
+def _cluster_reps_sql() -> str:
+    """DuckDB twin of ``dedup.neardup_keep_best``: each cluster collapses
+    to its longest member (ties → min doc_id); singletons survive."""
+    return (
+        "with cl as (" + _neardup_clusters_sql() + "), "
+        "d as (select doc_id, n_chars from documents), "
+        "m as (select cl.canon_id, d.doc_id, d.n_chars from cl"
+        " join d on cl.doc_id = d.doc_id), "
+        "r as (select canon_id, doc_id, n_chars,"
+        " row_number() over (partition by canon_id"
+        "  order by n_chars desc, doc_id asc) as rk,"
+        " count(*) over (partition by canon_id) as nm from m) "
+        "select doc_id as rep_id, n_chars as rep_chars,"
+        " cast(nm as bigint) as n_members from r where rk = 1 "
+        "union all "
+        "select d.doc_id, d.n_chars, cast(1 as bigint) from d"
+        " left join cl on d.doc_id = cl.doc_id where cl.doc_id is null "
+        "order by rep_id")
 
 
 def _sized_planes() -> int:
@@ -1230,6 +1260,7 @@ ORACLES: Dict[str, str] = {
     "dedup_simhash_pairs": _simhash_pairs_sql(),
     "dedup_ngram_jaccard": _ngram_jaccard_sql(),
     "dedup_clusters": _neardup_clusters_sql(),
+    "dedup_cluster_reps": _cluster_reps_sql(),
     "dedup_chunks": _chunk_dedup_sql(),
     "docs_boilerplate_by_source": _boilerplate_sql(),
     "dedup_incremental": _incremental_sql(),

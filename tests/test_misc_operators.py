@@ -114,3 +114,21 @@ def test_funnel_conversion_semantics(spark, tmp_path):
     row = q.q_funnel_conversion(spark, d).first()
     assert (row["n_viewed"], row["n_clicked"], row["n_purchased"]) \
         == (3, 1, 1)
+
+
+def test_neardup_keep_best_prefers_longest_not_min_id(spark):
+    """The cluster representative is the LONGEST member, not the min-id
+    canon label, and singletons survive as themselves."""
+    from inclusionreferenceskg_spark.operators import dedup
+
+    near = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    docs = spark.createDataFrame(
+        [(1, near, 50),
+         (2, near + " extra", 56),       # same cluster, longer, higher id
+         (9, "totally different words with no overlap at all here", 51)],
+        "doc_id long, text string, n_chars long")
+    rows = sorted(
+        (r.rep_id, r.rep_chars, r.n_members)
+        for r in dedup.neardup_keep_best(docs, threshold=0.5).collect())
+    assert rows == [(2, 56, 2), (9, 51, 1)]

@@ -264,6 +264,52 @@ def q_funnel_conversion(spark, sf_dir):
                     .alias("click_to_buy")))
 
 
+def q_rolling_7d_revenue(spark, sf_dir):
+    """Rolling 7-day revenue over daily order totals (RANGE window frame
+    — a window class the catalog didn't cover).  Scale shape: the
+    time-ordered window is global (one task), but it runs over the
+    PRE-AGGREGATED daily table — one row per calendar day — so its input
+    is bounded by the calendar, not the corpus (~3.6k rows per decade at
+    any SF).  The heavy lifting (orders → daily sums) is an ordinary
+    hash aggregate with map-side combine.  Revenue is summed in integer
+    cents (per-row round, then exact integer sum) so engine summation
+    order cannot flip the value hash."""
+    od = _t(spark, sf_dir, "orders")
+    daily = (od.groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+             .agg(F.sum(F.round(F.col("o_totalprice") * 100)
+                        .cast("long")).alias("day_rev_cents")))
+    w = (Window.orderBy("day_epoch")
+         .rangeBetween(-6 * 86400, Window.currentRow))
+    return (daily
+            .withColumn("day_epoch", F.unix_timestamp("day"))
+            .select("day_epoch", "day_rev_cents",
+                    F.sum("day_rev_cents").over(w).alias("rev_7d_cents"))
+            .orderBy("day_epoch"))
+
+
+def q_salted_join_type_stats(spark, sf_dir):
+    """Per-type event stats attached back to the event stream through an
+    explicitly SALTED join (``operators/joins.py``): ``event_type`` has a
+    handful of distinct values, so a plain shuffle join would funnel the
+    whole table into ~5 tasks regardless of cluster size — the textbook
+    hot-key trap at web scale.  The salt spreads each type across 8
+    shuffle tasks; the oracle is the UNSALTED join, proving the rewrite
+    is semantics-preserving.  ``type_avg`` is rounded to 6 decimals on
+    both sides before the comparison so an ulp-level aggregation-order
+    difference cannot flip a row's above/below classification."""
+    from inclusionreferenceskg_spark.operators.joins import salted_join
+    ev = _t(spark, sf_dir, "events")
+    stats = (ev.groupBy("event_type")
+             .agg(F.round(F.avg("value"), 6).alias("type_avg")))
+    j = salted_join(ev, stats, on="event_type", salt_from="event_id",
+                    n_salts=8)
+    return (j.groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.when(F.col("value") > F.col("type_avg"), 1)
+                       .otherwise(0)).cast("long").alias("n_above_avg"))
+            .orderBy("event_type"))
+
+
 def q_pivot_status_by_nation(spark, sf_dir):
     """Pivot (grouping-sets family): order-status counts per nation as
     columns.  The pivot values are pinned literals — letting Spark collect
@@ -685,6 +731,8 @@ QUERIES: Dict[str, Callable] = {
     "q_semijoin_active_custs": q_semijoin_active_custs,
     "q_asof_attribution": q_asof_attribution,
     "q_funnel_conversion": q_funnel_conversion,
+    "q_rolling_7d_revenue": q_rolling_7d_revenue,
+    "q_salted_join_type_stats": q_salted_join_type_stats,
     "docs_source_composition": docs_source_composition,
     "docs_token_counts": docs_token_counts,
     "docs_quality": docs_quality,
@@ -1235,6 +1283,27 @@ ORACLES: Dict[str, str] = {
         select r.doc_id as keep_doc_id, r.n_chars, g.group_size
         from r join g on r.h = g.h
         where r.rk = 1 order by keep_doc_id""",
+    "q_rolling_7d_revenue": """
+        with daily as (
+          select date_trunc('day', o_orderdate) as day,
+                 cast(sum(cast(round(o_totalprice * 100) as bigint))
+                     as bigint) as day_rev_cents
+          from orders group by 1)
+        select cast(floor(epoch(day)) as bigint) as day_epoch,
+               day_rev_cents,
+               cast(sum(day_rev_cents) over (order by day
+                    range between interval 6 days preceding
+                    and current row) as bigint) as rev_7d_cents
+        from daily order by day_epoch""",
+    "q_salted_join_type_stats": """
+        with stats as (
+          select event_type, round(avg(value), 6) as type_avg
+          from events group by event_type)
+        select e.event_type, count(*) as n,
+               cast(sum(case when e.value > s.type_avg then 1 else 0 end)
+                   as bigint) as n_above_avg
+        from events e join stats s using (event_type)
+        group by e.event_type order by e.event_type""",
     "q_funnel_conversion": """
         with v as (select user_id, min(ts) as t_view from events
                    where event_type = 'view' group by user_id),

@@ -127,6 +127,41 @@ def ngram_topk(documents: DataFrame, n: int = 2, k: int = 20) -> DataFrame:
             .limit(k))
 
 
+def tfidf_topk(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Per-document top-k distinguishing terms, TF-IDF-ranked.
+
+    The rank key is integer-only — ``(tf desc, df asc, term asc)`` —
+    which is order-equivalent to tf·idf for any strictly df-decreasing
+    idf and, unlike a float score, cannot be flipped by engine
+    libm/summation ulp differences (the value-hash gate compares exact
+    bytes).  ``df`` is emitted so a consumer can apply any idf form
+    downstream.
+
+    Scale shape: tokenize+explode is narrow; the ``(doc_id, term)`` and
+    ``(term)`` aggregates both combine map-side before their single
+    shuffle; the tf⋈df join shuffles on the term key, whose zipf head is
+    probe-side-only skew (the build side is exactly one row per term) —
+    AQE's skew split replicates the build row, or broadcast ``df`` under
+    a bounded-vocabulary contract.  The final top-k is a doc-partitioned
+    window, never a global sort.
+    """
+    from pyspark.sql import Window
+    words = (documents
+             .filter(F.col("text").isNotNull())
+             .select("doc_id",
+                     F.explode(F.expr(
+                         "regexp_extract_all(lower(text), '[a-z]{3,}', 0)"
+                     )).alias("term")))
+    tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("term"))
+    return (tf.join(dfreq, "term")
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("doc_id", "term", "tf", "df", "rk"))
+
+
 def length_histogram(documents: DataFrame,
                      bucket_width: int = 500) -> DataFrame:
     """Document-length distribution in fixed-width buckets (the first

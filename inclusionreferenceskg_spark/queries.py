@@ -434,6 +434,11 @@ def docs_ngram_topk(spark, sf_dir):
     return textstats.ngram_topk(_t(spark, sf_dir, "documents"))
 
 
+def docs_tfidf_topk(spark, sf_dir):
+    return (textstats.tfidf_topk(_t(spark, sf_dir, "documents"))
+            .orderBy("doc_id", "rk"))
+
+
 def docs_length_histogram(spark, sf_dir):
     return textstats.length_histogram(_t(spark, sf_dir, "documents"))
 
@@ -739,6 +744,7 @@ QUERIES: Dict[str, Callable] = {
     "docs_lang_id": docs_lang_id,
     "docs_fingerprints": docs_fingerprints,
     "docs_ngram_topk": docs_ngram_topk,
+    "docs_tfidf_topk": docs_tfidf_topk,
     "docs_length_histogram": docs_length_histogram,
     "corpus_curated": corpus_curated,
     "corpus_curated_staged": corpus_curated_staged,
@@ -1263,6 +1269,22 @@ ORACLES: Dict[str, str] = {
         select ngram, count(*) as n_occurrences
         from g group by ngram
         order by n_occurrences desc, ngram limit 20""",
+    "docs_tfidf_topk": """
+        with words as (
+          select doc_id,
+                 unnest(regexp_extract_all(lower(text), '[a-z]{3,}'))
+                     as term
+          from documents where text is not null),
+        tf as (select doc_id, term, count(*) as tf
+               from words group by 1, 2),
+        dfreq as (select term, count(*) as df from tf group by 1),
+        ranked as (
+          select tf.doc_id, tf.term, tf.tf, dfreq.df,
+                 row_number() over (partition by tf.doc_id
+                   order by tf.tf desc, dfreq.df asc, tf.term asc) as rk
+          from tf join dfreq using (term))
+        select doc_id, term, tf, df, rk from ranked
+        where rk <= 3 order by doc_id, rk""",
     "docs_length_histogram": """
         select cast(floor(length(text) / 500) as bigint) as bucket,
                cast(floor(length(text) / 500) * 500 as bigint) as bucket_lo,

@@ -46,6 +46,9 @@ BENCH_QUERIES = [
     "docs_gopher_quality",
     "docs_decontaminate",
     "docs_stratified_sample",
+    "docs_tfidf_topk",
+    "q_rolling_7d_revenue",
+    "q_salted_join_type_stats",
     "dedup_exact",
     "dedup_minhash_pairs",
     "dedup_simhash",

@@ -152,7 +152,11 @@ def tfidf_topk(documents: DataFrame, k: int = 3) -> DataFrame:
                      F.explode(F.expr(
                          "regexp_extract_all(lower(text), '[a-z]{3,}', 0)"
                      )).alias("term")))
-    tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # tf feeds BOTH the df aggregate and the join probe; persist it so the
+    # tokenize+explode+agg subtree (the dominant cost at corpus scale) is
+    # computed once — same policy as dedup.py's minhash bucket persist.
+    tf = (words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+          .persist())
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     w = Window.partitionBy("doc_id").orderBy(
         F.desc("tf"), F.asc("df"), F.asc("term"))

@@ -9,7 +9,9 @@ hash ids, min-id merge winners, no wall-clock anywhere in the dataflow).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from inclusionreferenceskg_spark.operators import kg as kg_ops
 from inclusionreferenceskg_spark.operators.detect import build_qualifiers
@@ -61,3 +63,48 @@ def run_checkpointed(spark: SparkSession, pages: DataFrame,
 
     return stage("triples", build_triples,
                  partition_by=lang_cols, bucket_url="url")
+
+
+def run_incremental(spark: SparkSession, pages: DataFrame,
+                    workdir: str) -> DataFrame:
+    """Incremental snapshot update: process ONLY pages whose url has no
+    committed triples yet, fast-append their triples to the durable
+    table, recommit the lineage manifest.
+
+    Sound because every KG stage is url-scoped — parsing is per page,
+    all four linkers key on ``(url, …)``, and the L3 reference join
+    requires ``kn_url == target_url`` (`operators/kg.py`) — so a page's
+    triples depend on that page alone and new-url processing + append is
+    value-identical to a full rerun over the union.  This is the
+    crawl-refresh path at 10^12 documents: the daily delta is ~0.1% of
+    the corpus and must not trigger a full recompute.
+
+    The new-url probe is a LEFT ANTI join against the committed table's
+    ``url`` column (column-pruned scan; on Iceberg this is a
+    metadata-accelerated distinct over the bucket partitions).  The
+    delta pipeline runs in its own sub-catalog keyed by a deterministic
+    distributed hash of the new-url set, so a killed incremental run
+    resumes into the same stage tables instead of starting over.
+    """
+    cat = Catalog(workdir)
+    if not cat.is_complete("triples"):
+        return run_checkpointed(spark, pages, workdir)
+    existing = cat.read(spark, "triples")
+    new_pages = pages.join(
+        existing.select("url").distinct(), "url", "left_anti")
+    # one scalar action (a control decision, not a plan-build job):
+    # row count + order-independent url-set hash for the delta dir name
+    probe = new_pages.agg(
+        F.count("*").alias("n"),
+        F.expr("bit_xor(xxhash64(url))").alias("h")).first()
+    if probe["n"] == 0:
+        return existing
+    delta_dir = os.path.join(
+        workdir, "increments", f"inc_{probe['h'] & 0xFFFFFFFFFFFF:012x}")
+    delta = run_checkpointed(spark, new_pages, delta_dir)
+    lang_cols = ("lang",) if "lang" in delta.columns else ()
+    # drop the delta's own bucket column; the append recomputes it with
+    # the identical deterministic transform for the main table's layout
+    delta_rows = delta.drop("url_bucket")
+    return cat.write("triples", delta_rows, partition_by=lang_cols,
+                     bucket_url="url", mode="append")

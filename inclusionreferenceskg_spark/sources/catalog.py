@@ -50,15 +50,19 @@ class Catalog:
     def write(self, name: str, df: DataFrame,
               partition_by: Sequence[str] = (),
               bucket_url: Optional[str] = None,
-              n_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
+              n_buckets: int = DEFAULT_BUCKETS,
+              mode: str = "overwrite") -> DataFrame:
         """Write a stage table + manifest; returns the re-read DataFrame
-        (cuts lineage like an Iceberg commit)."""
+        (cuts lineage like an Iceberg commit).  ``mode="append"`` is the
+        incremental-snapshot path: the delta lands as new files under the
+        same partition layout (an Iceberg fast-append) and the manifest
+        is recommitted from the full table."""
         t0 = time.perf_counter()
         cols = list(partition_by)
         if bucket_url:
             df = with_bucket(df, bucket_url, n_buckets)
             cols.append("url_bucket")
-        writer = df.write.mode("overwrite")
+        writer = df.write.mode(mode)
         if cols:
             writer = writer.partitionBy(*cols)
         path = self.table_path(name)

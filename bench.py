@@ -58,6 +58,10 @@ BENCH_QUERIES = [
     "ann_cosine_topk",
     "ann_lsh_topk_sized",
     "emb_neardup_pairs",
+    "graph_degrees",
+    "graph_khop",
+    "graph_pagerank",
+    "graph_triangles",
     "kg_nodes",
     "kg_mentions",
     "kg_resolved",

@@ -1,0 +1,189 @@
+"""Distributed graph analytics over a document link graph.
+
+The KG pipeline's end product is a graph (reference
+``knowledge_graph.py`` materializes nodes + edges), so an engine that
+builds KGs at 10^12-document scale also needs the standard graph
+queries users run over the result: degree statistics, bounded-radius
+reachability (k-hop BFS), PageRank, and triangle counting.  The
+reference repo itself only renders its graph; these operators are the
+engine-side extension, implemented Spark-first (joins + aggregations,
+no driver-side adjacency structures) with value-exact DuckDB oracles.
+
+Edge derivation
+---------------
+``link_edges`` derives a deterministic directed link graph from the
+``documents`` table: each document emits ``fanout`` out-links whose
+targets come from the shared portable ``hash64`` (first 15 hex chars of
+md5 as a bigint — byte-identical in DuckDB), mod the corpus size.  This
+stands in for a real hyperlink graph (input_hint web pages carry hrefs)
+while keeping both engines byte-identical without external data.
+
+Scale notes per operator (local[32] today, 1000-executor target):
+
+* ``link_edges`` — narrow generate + one distinct (shuffle on the edge
+  key).  The corpus-count side is a 1-row broadcast.
+* ``degrees`` — two map-side-combinable aggs + id-key joins; linear.
+* ``khop`` — frontier BFS: each hop is one join (frontier × edges,
+  frontier is the small side and broadcastable for sparse seed sets) +
+  a distinct + an anti-join against visited.  Shuffles are keyed on
+  node id; at web scale the per-hop frontier should be persisted and
+  the lineage checkpoint-truncated every few hops (same policy as the
+  CC min-label loop in ``kg.py``); with a fixed small k the unrolled
+  plan is fine and AQE sizes the per-hop exchanges.
+* ``pagerank`` — the rank vector is INTEGER-scaled (rank mass of
+  10^12 split by integer division) so per-node sums are
+  order-independent: float PageRank would diverge between engines by
+  summation order, bigint PageRank is hash-exact.  Edges are joined
+  with out-degree once and persisted (reused every iteration); each
+  iteration is one shuffle on ``dst`` + one id-key join.  Intermediate
+  rank tables are persisted to keep the unrolled plan shallow.
+* ``triangles`` — edges are canonically oriented (low id → high id)
+  then a two-join path-close.  At web scale orient by DEGREE (low-degree
+  → high-degree endpoint) instead of id: that bounds the join fan-out
+  per node by sqrt(m) (standard compact-forward bound); id orientation
+  is kept here because the oracle needs engine-identical ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .textstats import hash64
+
+#: number of out-links each document emits
+FANOUT = 3
+
+#: total integer rank mass for PageRank (10^12 units)
+PR_SCALE = 1_000_000_000_000
+
+#: damping numerator/denominator (0.85 as an exact ratio)
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100
+
+#: seed predicate modulus for the catalog k-hop entry
+KHOP_SEED_MOD = 97
+
+
+def link_edges(documents: DataFrame, fanout: int = FANOUT) -> DataFrame:
+    """Deterministic directed link graph: (src, dst), self-loops dropped,
+    duplicate edges collapsed."""
+    n = documents.agg(F.count("*").alias("n_docs"))
+    e = (documents.select("doc_id")
+         .crossJoin(F.broadcast(n))
+         .select("doc_id", "n_docs",
+                 F.explode(F.sequence(F.lit(0), F.lit(fanout - 1)))
+                 .alias("k"))
+         .select(
+             F.col("doc_id").alias("src"),
+             (hash64(F.concat_ws(
+                 ":", F.lit("link"), F.col("doc_id"), F.col("k")))
+              % F.col("n_docs")).alias("dst")))
+    return (e.filter(F.col("src") != F.col("dst"))
+            .select("src", "dst").distinct())
+
+
+def degrees(documents: DataFrame, edges: DataFrame) -> DataFrame:
+    """Per-node out/in degree (0 for isolated directions)."""
+    out_d = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("out_deg"))
+    in_d = edges.groupBy(F.col("dst").alias("node")).agg(
+        F.count("*").alias("in_deg"))
+    nodes = documents.select(F.col("doc_id").alias("node"))
+    return (nodes.join(out_d, "node", "left")
+            .join(in_d, "node", "left")
+            .select("node",
+                    F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+                    F.coalesce("in_deg", F.lit(0)).alias("in_deg")))
+
+
+def khop(seeds: DataFrame, edges: DataFrame, k: int) -> DataFrame:
+    """Nodes reachable within ``k`` hops of ``seeds`` (column ``node``)
+    with their BFS distance: (node, dist).
+
+    Frontier BFS: a node is expanded only the first time it is reached,
+    which is exactly its min distance — value-identical to the oracle's
+    exhaustive recursive CTE + group-min, without its revisit blow-up.
+    """
+    visited = seeds.select("node", F.lit(0).alias("dist"))
+    frontier = visited
+    for i in range(1, k + 1):
+        nxt = (frontier.join(edges, frontier["node"] == edges["src"])
+               .select(F.col("dst").alias("node"))
+               .distinct()
+               .join(visited.select("node"), "node", "left_anti")
+               .select("node", F.lit(i).alias("dist")))
+        nxt = nxt.persist()
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    return visited
+
+
+def pagerank(documents: DataFrame, edges: DataFrame,
+             iters: int = 5) -> DataFrame:
+    """Integer-scaled PageRank: (node, rank) with sum(rank) ≈ PR_SCALE.
+
+    rank_{i+1}(v) = (PR_SCALE*15) div (100*N)
+                  + Σ_{(u,v)∈E} (rank_i(u)*85) div (100*outdeg(u))
+
+    All arithmetic is bigint (div = integer division), so the per-node
+    sum is order-independent and the DuckDB oracle hash-matches exactly.
+    Dangling mass (nodes with outdeg 0) is dropped identically on both
+    sides.  rank*85 ≤ 8.5e13 per node, far inside int64.
+    """
+    n = documents.agg(F.count("*").alias("n_docs"))
+    nodes = (documents.select(F.col("doc_id").alias("node"))
+             .crossJoin(F.broadcast(n)))
+    out_d = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    # (src, dst, out_deg): reused every iteration — persist once
+    e = edges.join(out_d, "src").persist()
+    base = F.expr(f"({PR_SCALE}L * {PR_DAMP_DEN - PR_DAMP_NUM}) "
+                  f"div ({PR_DAMP_DEN} * n_docs)")
+    ranks = nodes.select(
+        "node", "n_docs",
+        F.expr(f"{PR_SCALE}L div n_docs").alias("rank"))
+    for _ in range(iters):
+        contrib = (ranks.join(e, ranks["node"] == e["src"])
+                   .select(F.col("dst"),
+                           F.expr(f"(rank * {PR_DAMP_NUM}) "
+                                  f"div ({PR_DAMP_DEN} * out_deg)")
+                           .alias("c"))
+                   .groupBy("dst").agg(F.sum("c").alias("contrib")))
+        ranks = (nodes.join(contrib, nodes["node"] == contrib["dst"],
+                            "left")
+                 .select("node", "n_docs",
+                         (base + F.coalesce("contrib", F.lit(0)))
+                         .alias("rank"))
+                 .persist())
+    return ranks.select("node", "rank")
+
+
+def triangles(edges: DataFrame) -> DataFrame:
+    """Global undirected triangle count: one row (n_triangles).
+
+    Edges are canonically oriented low-id → high-id and deduped, then
+    closed with a two-join wedge check a<b<c so each triangle counts
+    exactly once.
+    """
+    c = (edges.select(F.least("src", "dst").alias("u"),
+                      F.greatest("src", "dst").alias("v"))
+         .distinct()
+         .persist())
+    e1 = c.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = c.select(F.col("u").alias("b2"), F.col("v").alias("c2"))
+    e3 = c.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
+    wedges = e1.join(e2, e1["b"] == e2["b2"])
+    closed = wedges.join(
+        e3, (wedges["a"] == e3["a3"]) & (wedges["c2"] == e3["c3"]))
+    return closed.agg(F.count("*").alias("n_triangles"))
+
+
+def edges_sql(fanout: int = FANOUT) -> str:
+    """DuckDB twin of ``link_edges`` (CTE body yielding (src, dst))."""
+    ks = ", ".join(f"({i})" for i in range(fanout))
+    return f"""
+      select distinct src, dst from (
+        select d.doc_id as src,
+               cast('0x' || substring(md5('link:' || cast(d.doc_id as varchar)
+                    || ':' || cast(k.k as varchar)), 1, 15) as bigint)
+                 % (select count(*) from documents) as dst
+        from documents d, (values {ks}) as k(k)) e
+      where src <> dst"""

@@ -26,6 +26,7 @@ from inclusionreferenceskg_spark.operators import (
     similarity,
     textstats,
 )
+from inclusionreferenceskg_spark.operators import graph as graph_ops
 from inclusionreferenceskg_spark.operators import kg as kg_ops
 from inclusionreferenceskg_spark.operators.detect import (
     build_qualifiers,
@@ -677,6 +678,41 @@ def docs_stratified_sample(spark, sf_dir):
     return curation.stratified_sample(_t(spark, sf_dir, "documents"))
 
 
+# --------------------------------------------------------- graph analytics
+
+def _doc_edges(spark, sf_dir):
+    return graph_ops.link_edges(_t(spark, sf_dir, "documents"))
+
+
+def graph_edges(spark, sf_dir):
+    return _doc_edges(spark, sf_dir).orderBy("src", "dst")
+
+
+def graph_degrees(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return graph_ops.degrees(
+        docs, graph_ops.link_edges(docs)).orderBy("node")
+
+
+def graph_khop(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    seeds = docs.filter(
+        F.col("doc_id") % graph_ops.KHOP_SEED_MOD == 0).select(
+        F.col("doc_id").alias("node"))
+    return graph_ops.khop(
+        seeds, graph_ops.link_edges(docs), k=3).orderBy("node")
+
+
+def graph_pagerank(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return graph_ops.pagerank(
+        docs, graph_ops.link_edges(docs), iters=5).orderBy("node")
+
+
+def graph_triangles(spark, sf_dir):
+    return graph_ops.triangles(_doc_edges(spark, sf_dir))
+
+
 # ------------------------------------------------------------- KG pipeline
 
 def kg_nodes(spark, sf_dir):
@@ -772,6 +808,11 @@ QUERIES: Dict[str, Callable] = {
     "multimodal_image_meta": multimodal_image_meta,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_audio_chunks": multimodal_audio_chunks,
+    "graph_edges": graph_edges,
+    "graph_degrees": graph_degrees,
+    "graph_khop": graph_khop,
+    "graph_pagerank": graph_pagerank,
+    "graph_triangles": graph_triangles,
     "kg_nodes": kg_nodes,
     "kg_extracted_text": kg_extracted_text,
     "kg_mentions": kg_mentions,
@@ -1567,3 +1608,80 @@ ORACLES["docs_stratified_sample"] = """
                order by md5(cast(doc_id as varchar)), doc_id) as rk
       from documents) t
     where rk <= 3 order by source, lang, rk"""
+
+
+# ----------------------------------------------------- graph-analytics oracles
+# The edge CTE is the DuckDB twin of graph.link_edges (shared hash64
+# arithmetic, byte-identical md5 strings); PageRank is integer-scaled so
+# per-node sums are order-independent and hash-exact across engines.
+
+_EDGES = graph_ops.edges_sql()
+
+ORACLES["graph_edges"] = f"""
+    with e as ({_EDGES})
+    select src, dst from e order by src, dst"""
+
+ORACLES["graph_degrees"] = f"""
+    with e as ({_EDGES}),
+    od as (select src as node, count(*) as out_deg from e group by src),
+    idg as (select dst as node, count(*) as in_deg from e group by dst)
+    select d.doc_id as node,
+           coalesce(od.out_deg, 0) as out_deg,
+           coalesce(idg.in_deg, 0) as in_deg
+    from documents d
+    left join od on od.node = d.doc_id
+    left join idg on idg.node = d.doc_id
+    order by node"""
+
+ORACLES["graph_khop"] = f"""
+    with recursive e as ({_EDGES}),
+    r(node, dist) as (
+      select doc_id, 0 from documents
+      where doc_id % {graph_ops.KHOP_SEED_MOD} = 0
+      union
+      select e.dst, r.dist + 1 from r join e on e.src = r.node
+      where r.dist < 3)
+    select node, min(dist) as dist from r group by node order by node"""
+
+
+def _pagerank_sql(iters: int = 5) -> str:
+    """DuckDB twin of graph.pagerank: chained CTEs, one per iteration,
+    bigint arithmetic identical to the Spark plan."""
+    scale, num, den = (graph_ops.PR_SCALE, graph_ops.PR_DAMP_NUM,
+                       graph_ops.PR_DAMP_DEN)
+    parts = [f"""
+    with e0 as ({_EDGES}),
+    deg as (select src, count(*) as out_deg from e0 group by src),
+    ed as (select e0.src, e0.dst, deg.out_deg
+           from e0 join deg on deg.src = e0.src),
+    n as (select count(*) as n_docs from documents),
+    r0 as (select d.doc_id as node, ({scale} // n.n_docs) as rank
+           from documents d cross join n)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+    r{i} as (
+      select d.doc_id as node,
+             (({scale} * {den - num}) // ({den} * n.n_docs))
+             + coalesce(c.contrib, 0) as rank
+      from documents d cross join n
+      left join (
+        select ed.dst,
+               sum((r{i - 1}.rank * {num}) // ({den} * ed.out_deg))
+                 as contrib
+        from r{i - 1} join ed on ed.src = r{i - 1}.node
+        group by ed.dst) c on c.dst = d.doc_id)""")
+    parts.append(f"""
+    select node, rank from r{iters} order by node""")
+    return "".join(parts)
+
+
+ORACLES["graph_pagerank"] = _pagerank_sql()
+
+ORACLES["graph_triangles"] = f"""
+    with e as ({_EDGES}),
+    c as (select distinct least(src, dst) as u, greatest(src, dst) as v
+          from e)
+    select count(*) as n_triangles
+    from c e1
+    join c e2 on e2.u = e1.v
+    join c e3 on e3.u = e1.u and e3.v = e2.v"""

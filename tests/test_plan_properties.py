@@ -27,7 +27,11 @@ SF_DIR = "/root/testdata/sf0.001"
 #: the n_cells parameter (ann_ivf_topk) — never table-sized data
 #: q_funnel_conversion cross-joins three single-row global aggregates to
 #: assemble its one summary row — bounded by construction
-_BNLJ_ALLOWED = {"ann_cosine_topk", "ann_ivf_topk", "q_funnel_conversion"}
+_BNLJ_ALLOWED = {"ann_cosine_topk", "ann_ivf_topk", "q_funnel_conversion",
+                 # graph_* cross-join a broadcast 1-row corpus-count agg
+                 # into the edge generator — bounded by construction
+                 "graph_edges", "graph_degrees", "graph_khop",
+                 "graph_pagerank", "graph_triangles"}
 
 #: kg_* queries run the pipeline (mapInPandas heavy); their plan audit is
 #: the pipeline's own (localCheckpoint lineage makes explain uninformative)

@@ -176,7 +176,49 @@ def triangles(edges: DataFrame) -> DataFrame:
     return closed.agg(F.count("*").alias("n_triangles"))
 
 
-def edges_sql(fanout: int = FANOUT) -> str:
+def triangles_degree_oriented(edges: DataFrame) -> DataFrame:
+    """Global triangle count with DEGREE-based edge orientation — the
+    skew-safe plan for power-law web graphs.
+
+    Every undirected edge is oriented from its lower-(degree, id)
+    endpoint to the higher one (a total order, so the oriented graph is
+    acyclic and each triangle closes exactly once).  Out-degree under
+    this orientation is bounded by O(sqrt(m)) (compact-forward /
+    Schank-Wagner bound), so the wedge join's per-node fan-out stays
+    bounded even when a celebrity node has 10^8 neighbors — id
+    orientation would enumerate that node's neighbor pairs.  The count
+    is orientation-invariant, hence the same oracle as ``triangles``.
+    """
+    und = (edges.select(F.least("src", "dst").alias("u"),
+                        F.greatest("src", "dst").alias("v"))
+           .distinct())
+    sym = und.unionByName(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy("u").agg(F.count("*").alias("deg")).withColumnRenamed(
+        "u", "node")
+    ranked = (und
+              .join(deg.select(F.col("node").alias("u"),
+                               F.col("deg").alias("du")), "u")
+              .join(deg.select(F.col("node").alias("v"),
+                               F.col("deg").alias("dv")), "v"))
+    lo_first = F.struct("du", "u") < F.struct("dv", "v")
+    o = (ranked.select(
+        F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("b"))
+        .persist())
+    e1 = o.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = o.select(F.col("a").alias("x2"), F.col("b").alias("z"))
+    e3 = o.select(F.col("a").alias("y3"), F.col("b").alias("z3"))
+    wedges = e1.join(e2, e1["x"] == e2["x2"]).filter(
+        F.col("y") != F.col("z"))
+    closed = wedges.join(
+        e3, ((wedges["y"] == e3["y3"]) & (wedges["z"] == e3["z3"])) |
+            ((wedges["z"] == e3["y3"]) & (wedges["y"] == e3["z3"])))
+    # each triangle has exactly one wedge at its lowest-ranked vertex
+    # whose third edge is oriented between the two higher vertices; the
+    # OR-closure catches both rank orders of (y, z), and the y != z
+    # filter drops degenerate wedge legs
+    return closed.agg((F.count("*") / 2).cast("long").alias("n_triangles"))
     """DuckDB twin of ``link_edges`` (CTE body yielding (src, dst))."""
     ks = ", ".join(f"({i})" for i in range(fanout))
     return f"""

@@ -713,6 +713,10 @@ def graph_triangles(spark, sf_dir):
     return graph_ops.triangles(_doc_edges(spark, sf_dir))
 
 
+def graph_triangles_skewaware(spark, sf_dir):
+    return graph_ops.triangles_degree_oriented(_doc_edges(spark, sf_dir))
+
+
 # ------------------------------------------------------------- KG pipeline
 
 def kg_nodes(spark, sf_dir):
@@ -813,6 +817,7 @@ QUERIES: Dict[str, Callable] = {
     "graph_khop": graph_khop,
     "graph_pagerank": graph_pagerank,
     "graph_triangles": graph_triangles,
+    "graph_triangles_skewaware": graph_triangles_skewaware,
     "kg_nodes": kg_nodes,
     "kg_extracted_text": kg_extracted_text,
     "kg_mentions": kg_mentions,
@@ -1685,3 +1690,7 @@ ORACLES["graph_triangles"] = f"""
     from c e1
     join c e2 on e2.u = e1.v
     join c e3 on e3.u = e1.u and e3.v = e2.v"""
+
+# the triangle count is orientation-invariant: the degree-oriented plan
+# (skew-safe on power-law graphs) must produce the identical number
+ORACLES["graph_triangles_skewaware"] = ORACLES["graph_triangles"]

@@ -93,10 +93,61 @@ class Catalog:
         }
         with open(self._manifest_path(name), "w") as f:
             json.dump(manifest, f, indent=1)
+        self._commit_snapshot(name, out, manifest, mode)
         return out
 
-    def read(self, spark: SparkSession, name: str) -> DataFrame:
-        return spark.read.parquet(self.table_path(name))
+    # ------------------------------------------------ snapshot log
+    # Iceberg-style time travel: every commit records the exact data-file
+    # set, so a past snapshot is re-readable as long as its files survive.
+    # Fast-appends (the incremental path) keep all prior files — full
+    # history; an overwrite physically replaces files (this fallback has
+    # no expire_snapshots grace period), so it resets the log.
+
+    def _snapshot_dir(self, name: str) -> str:
+        return os.path.join(self.root, "_lineage", f"{name}.snapshots")
+
+    def _commit_snapshot(self, name: str, out: DataFrame,
+                         manifest: dict, mode: str) -> None:
+        d = self._snapshot_dir(name)
+        if mode == "overwrite" and os.path.isdir(d):
+            for f in os.listdir(d):
+                os.unlink(os.path.join(d, f))
+        os.makedirs(d, exist_ok=True)
+        version = len(os.listdir(d)) + 1
+        snap = {
+            "version": version,
+            "rows": manifest["rows"],
+            "checksum": manifest["checksum"],
+            "files": sorted(out.inputFiles()),
+        }
+        with open(os.path.join(d, f"v{version}.json"), "w") as f:
+            json.dump(snap, f, indent=1)
+
+    def history(self, name: str) -> list:
+        """Snapshot log (oldest first): [{version, rows, checksum}, ...]."""
+        d = self._snapshot_dir(name)
+        if not os.path.isdir(d):
+            return []
+        out = []
+        for fn in sorted(os.listdir(d),
+                         key=lambda s: int(s[1:-5])):
+            with open(os.path.join(d, fn)) as f:
+                s = json.load(f)
+            out.append({k: s[k] for k in ("version", "rows", "checksum")})
+        return out
+
+    def read(self, spark: SparkSession, name: str,
+             version: Optional[int] = None) -> DataFrame:
+        """Read a stage table; ``version=k`` time-travels to snapshot k
+        (partition columns recovered via basePath)."""
+        if version is None:
+            return spark.read.parquet(self.table_path(name))
+        with open(os.path.join(self._snapshot_dir(name),
+                               f"v{version}.json")) as f:
+            snap = json.load(f)
+        return (spark.read
+                .option("basePath", self.table_path(name))
+                .parquet(*snap["files"]))
 
     def manifest(self, name: str) -> dict:
         with open(self._manifest_path(name)) as f:

@@ -45,6 +45,16 @@ def test_triangles_counts_each_once(spark):
     assert g.triangles(e).collect()[0]["n_triangles"] == 1
 
 
+def test_triangles_degree_oriented_matches_id_oriented(spark):
+    # K4 plus a pendant: 4 triangles; a hub node exercises the
+    # degree-orientation tie-breaks
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    e = _edges(spark, k4 + [(4, 5)])
+    assert g.triangles(e).collect()[0]["n_triangles"] == 4
+    assert (g.triangles_degree_oriented(e)
+            .collect()[0]["n_triangles"]) == 4
+
+
 def test_pagerank_mass_and_ordering(spark):
     # star: everyone links to 0 -> node 0 must outrank the leaves, and
     # total integer mass stays within rounding of PR_SCALE

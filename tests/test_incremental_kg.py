@@ -52,6 +52,27 @@ def test_incremental_equals_oneshot(spark, tmp_path_factory):
     assert manifest["rows"] == t2.count() == want.count()
 
 
+def test_catalog_time_travel_across_appends(spark, tmp_path_factory):
+    from inclusionreferenceskg_spark.sources.catalog import Catalog
+
+    work = str(tmp_path_factory.mktemp("tt"))
+    pages_all = synth.synthesize_pages(spark, 10)
+    t1 = run_incremental(
+        spark, pages_all.filter(F.col("doc_rank") < 6), work)
+    r1 = _rows(t1)
+    t2 = run_incremental(spark, pages_all, work)
+    r2 = _rows(t2)
+    assert len(r2) > len(r1)
+
+    cat = Catalog(work)
+    hist = cat.history("triples")
+    assert [h["version"] for h in hist] == [1, 2]
+    assert hist[0]["rows"] == len(r1) and hist[1]["rows"] == len(r2)
+    # snapshot 1 is still readable bit-for-bit after the fast-append
+    assert _rows(cat.read(spark, "triples", version=1)) == r1
+    assert _rows(cat.read(spark, "triples", version=2)) == r2
+
+
 def test_incremental_noop_on_no_new_urls(spark, tmp_path_factory):
     inc_dir = str(tmp_path_factory.mktemp("inc2"))
     pages = synth.synthesize_pages(spark, 6)

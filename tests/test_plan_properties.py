@@ -31,7 +31,8 @@ _BNLJ_ALLOWED = {"ann_cosine_topk", "ann_ivf_topk", "q_funnel_conversion",
                  # graph_* cross-join a broadcast 1-row corpus-count agg
                  # into the edge generator — bounded by construction
                  "graph_edges", "graph_degrees", "graph_khop",
-                 "graph_pagerank", "graph_triangles"}
+                 "graph_pagerank", "graph_triangles",
+                 "graph_triangles_skewaware"}
 
 #: kg_* queries run the pipeline (mapInPandas heavy); their plan audit is
 #: the pipeline's own (localCheckpoint lineage makes explain uninformative)

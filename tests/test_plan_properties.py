@@ -37,7 +37,7 @@ _BNLJ_ALLOWED = {"ann_cosine_topk", "ann_ivf_topk", "q_funnel_conversion",
 #: kg_* queries run the pipeline (mapInPandas heavy); their plan audit is
 #: the pipeline's own (localCheckpoint lineage makes explain uninformative)
 _SKIP = {"kg_nodes", "kg_extracted_text", "kg_mentions", "kg_qualifiers",
-         "kg_resolved", "kg_triples"}
+         "kg_resolved", "kg_triples", "kg_entities"}
 
 QUERY_KEYS = sorted(k for k in entry_mod.queries() if k not in _SKIP)
 

@@ -108,3 +108,106 @@ def run_incremental(spark: SparkSession, pages: DataFrame,
     delta_rows = delta.drop("url_bucket")
     return cat.write("triples", delta_rows, partition_by=lang_cols,
                      bucket_url="url", mode="append")
+
+
+def _page_fps(pages: DataFrame) -> DataFrame:
+    """Per-url content fingerprint (md5 of text; null-safe)."""
+    return pages.select(
+        "url", F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("fp"))
+
+
+def _cow_upsert(spark: SparkSession, cat: Catalog, dcat: Catalog,
+                name: str, changed: DataFrame, fresh: DataFrame,
+                partition_by=()) -> DataFrame:
+    """Copy-on-write at (partition, url_bucket) granularity: replace every
+    row of a ``changed`` url in table ``name`` with the ``fresh`` rows
+    (which may also introduce new urls).
+
+    Protocol (crash-safe at every boundary):
+      1. collect the partition pairs currently holding changed-url rows —
+         bounded by the recrawl delta, an explicit small collect (the CC
+         driver-fast-path policy);
+      2. materialize survivors-from-those-partitions + fresh rows into a
+         STAGED table under the delta sub-catalog (skipped if already
+         committed, so a rerun after a crash reuses the pre-crash
+         survivors instead of reading a half-rewritten main table);
+      3. delete the stale partition directories (idempotent);
+      4. fast-append the staged table and recommit the manifest.
+    A rerun recomputes the same changed set (the url_fps table commits
+    LAST in ``run_upsert``), so every step replays into the same staged
+    table and the end state is identical.
+    """
+    part_cols = list(partition_by) + ["url_bucket"]
+    staged_name = f"{name}_staged"
+    if dcat.is_complete(staged_name):
+        staged = dcat.read(spark, staged_name)
+    else:
+        existing = cat.read(spark, name)
+        stale = (existing.join(changed, "url", "left_semi")
+                 .select(*part_cols).distinct().collect())
+        if stale:
+            pairs = F.broadcast(spark.createDataFrame(stale))
+            keep = (existing.join(pairs, part_cols, "left_semi")
+                    .join(changed, "url", "left_anti")
+                    .drop("url_bucket"))
+            merged = keep.unionByName(fresh)
+        else:
+            merged = fresh
+        staged = dcat.write(staged_name, merged,
+                            partition_by=partition_by, bucket_url="url")
+    # stale pairs from the CURRENT main table: after a crash mid-rewrite
+    # this covers exactly the directories that still hold changed-url rows
+    spark.catalog.refreshByPath(cat.table_path(name))
+    existing_now = cat.read(spark, name)
+    stale_now = (existing_now.join(changed, "url", "left_semi")
+                 .select(*part_cols).distinct().collect())
+    import shutil
+    for p in stale_now:
+        sub = os.path.join(cat.table_path(name),
+                           *(f"{c}={p[c]}" for c in part_cols))
+        shutil.rmtree(sub, ignore_errors=True)
+    # Spark's global FileStatusCache may still list the deleted files
+    spark.catalog.refreshByPath(cat.table_path(name))
+    return cat.write(name, staged.drop("url_bucket"),
+                     partition_by=partition_by, bucket_url="url",
+                     mode="upsert")
+
+
+def run_upsert(spark: SparkSession, pages: DataFrame,
+               workdir: str) -> DataFrame:
+    """Recrawl upsert: new urls are processed and appended; urls whose
+    CONTENT changed (md5 fingerprint vs the committed url_fps table) are
+    reprocessed and copy-on-write rewritten at partition granularity —
+    unchanged urls are never touched, the table is never fully rewritten.
+
+    This is the general crawl-refresh path (``run_incremental`` is the
+    append-only special case where content never changes).  The url_fps
+    table commits last: it is the transaction marker that makes the
+    whole upsert idempotent under replay.
+    """
+    cat = Catalog(workdir)
+    if not cat.is_complete("triples"):
+        out = run_checkpointed(spark, pages, workdir)
+        cat.write("url_fps", _page_fps(pages), bucket_url="url")
+        return out
+    fps = _page_fps(pages)
+    old_fps = cat.read(spark, "url_fps").select("url", "fp")
+    changed = (fps.join(old_fps, ["url", "fp"], "left_anti")
+               .select("url").persist())
+    probe = changed.agg(
+        F.count("*").alias("n"),
+        F.expr("bit_xor(xxhash64(url))").alias("h")).first()
+    if probe["n"] == 0:
+        return cat.read(spark, "triples")
+    delta_dir = os.path.join(
+        workdir, "increments", f"ups_{probe['h'] & 0xFFFFFFFFFFFF:012x}")
+    delta_pages = pages.join(changed, "url", "left_semi")
+    delta = run_checkpointed(spark, delta_pages, delta_dir)
+    dcat = Catalog(delta_dir)
+    lang_cols = ("lang",) if "lang" in delta.columns else ()
+
+    out = _cow_upsert(spark, cat, dcat, "triples", changed,
+                      delta.drop("url_bucket"), partition_by=lang_cols)
+    fresh_fps = fps.join(changed, "url", "left_semi")
+    _cow_upsert(spark, cat, dcat, "url_fps", changed, fresh_fps)
+    return out

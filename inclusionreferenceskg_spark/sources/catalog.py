@@ -56,13 +56,18 @@ class Catalog:
         (cuts lineage like an Iceberg commit).  ``mode="append"`` is the
         incremental-snapshot path: the delta lands as new files under the
         same partition layout (an Iceberg fast-append) and the manifest
-        is recommitted from the full table."""
+        is recommitted from the full table.
+        ``mode="upsert"`` is the copy-on-write commit of the recrawl
+        path (``plans.checkpoint.run_upsert``): physically an append —
+        the caller has already deleted the replaced partition
+        directories — but the snapshot log resets because files were
+        removed and older snapshots would dangle."""
         t0 = time.perf_counter()
         cols = list(partition_by)
         if bucket_url:
             df = with_bucket(df, bucket_url, n_buckets)
             cols.append("url_bucket")
-        writer = df.write.mode(mode)
+        writer = df.write.mode("append" if mode == "upsert" else mode)
         if cols:
             writer = writer.partitionBy(*cols)
         path = self.table_path(name)
@@ -108,8 +113,12 @@ class Catalog:
 
     def _commit_snapshot(self, name: str, out: DataFrame,
                          manifest: dict, mode: str) -> None:
+        # append keeps every prior file, so history stays readable; both
+        # overwrite flavors physically delete replaced files (this
+        # fallback has no expire_snapshots grace period), so they reset
+        # the snapshot log rather than leave dangling versions
         d = self._snapshot_dir(name)
-        if mode == "overwrite" and os.path.isdir(d):
+        if mode != "append" and os.path.isdir(d):
             for f in os.listdir(d):
                 os.unlink(os.path.join(d, f))
         os.makedirs(d, exist_ok=True)

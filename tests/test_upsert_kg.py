@@ -1,0 +1,108 @@
+"""Recrawl upsert: changed-content urls are copy-on-write rewritten at
+partition granularity; result always equals a full rerun."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
+
+from inclusionreferenceskg_spark import synth
+from inclusionreferenceskg_spark.plans.checkpoint import (
+    run_checkpointed,
+    run_upsert,
+)
+from inclusionreferenceskg_spark.sources.catalog import Catalog
+
+
+def _rows(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def _mutate(spark, pages, doc_rank, marker):
+    """Rewrite one page's text deterministically (a real content change:
+    its second paragraph now cites a different article)."""
+    schema = StructType([StructField(f.name, f.dataType, True)
+                         for f in synth.PAGES_SCHEMA.fields])
+    rows = [tuple(r) for r in pages.collect()]
+    out = []
+    for r in rows:
+        if r[6] == doc_rank:
+            r = list(r)
+            r[3] = r[3] + ("\n\n3. The controller shall notify the "
+                           f"authority subject to Article {marker}.\n")
+            r = tuple(r)
+        out.append(r)
+    return spark.createDataFrame(out, schema)
+
+
+def test_upsert_rewrites_only_changed_urls(spark, tmp_path_factory):
+    work = str(tmp_path_factory.mktemp("ups"))
+    # both snapshots derive from the SAME 10-doc base corpus (doc text
+    # depends on the corpus size), so exactly 1 changed + 2 new urls
+    base = synth.synthesize_pages(spark, 10)
+    snap1 = base.filter(F.col("doc_rank") < 8)
+
+    t1 = run_upsert(spark, snap1, work)
+    r1 = _rows(t1)  # capture now: the upsert below deletes t1's files
+    assert len(r1) > 0
+    cat = Catalog(work)
+    with open(os.path.join(work, "_lineage", "url_fps.json")) as f:
+        assert json.load(f)["rows"] == 8
+
+    # snapshot 2: one page's content changes, two new urls appear
+    snap2 = _mutate(spark, base, 2, 1)
+    got = run_upsert(spark, snap2, work)
+    want = run_checkpointed(spark, snap2,
+                            str(tmp_path_factory.mktemp("full")))
+    assert _rows(got) == _rows(want)
+
+    # the changed page's delta really reprocessed only 3 urls (1 changed
+    # + 2 new): check the delta sub-catalog lineage
+    inc_root = os.path.join(work, "increments")
+    (delta_name,) = [d for d in os.listdir(inc_root)
+                     if d.startswith("ups_")]
+    with open(os.path.join(inc_root, delta_name, "_lineage",
+                           "nodes.json")) as f:
+        delta_nodes = json.load(f)
+    all_urls = {r["url"] for r in snap2.select("url").collect()}
+    changed_urls = 3
+    assert delta_nodes["rows"] < len(all_urls) * 60  # far below full
+    # fps table tracks the new snapshot: a third run is a no-op
+    again = run_upsert(spark, snap2, work)
+    assert _rows(again) == _rows(want)
+    assert len([d for d in os.listdir(inc_root)
+                if d.startswith("ups_")]) == 1
+
+    # untouched buckets' files were not rewritten by the upsert: every
+    # url outside the changed set still has exactly its original rows
+    changed_set = {r["url"] for r in
+                   _page_fp_diff(spark, snap1, snap2)}
+    assert len(changed_set) == changed_urls
+    keep = cat.read(spark, "triples").filter(
+        ~F.col("url").isin(list(changed_set)))
+    url_idx = sorted(keep.columns).index("url")
+    keep1 = [r for r in r1 if r[url_idx] not in changed_set]
+    assert _rows(keep) == keep1
+
+
+def _page_fp_diff(spark, old, new):
+    o = old.select("url", F.md5(F.coalesce("text", F.lit(""))).alias("fp"))
+    n = new.select("url", F.md5(F.coalesce("text", F.lit(""))).alias("fp"))
+    return n.join(o, ["url", "fp"], "left_anti").select("url").collect()
+
+
+def test_upsert_content_change_actually_changes_triples(spark,
+                                                        tmp_path_factory):
+    work = str(tmp_path_factory.mktemp("ups2"))
+    pages = synth.synthesize_pages(spark, 4)
+    t1 = run_upsert(spark, pages, work)
+    url2 = pages.filter(F.col("doc_rank") == 2).first()["url"]
+    before = t1.filter(F.col("url") == url2).count()
+
+    t2 = run_upsert(spark, _mutate(spark, pages, 2, 1), work)
+    after = t2.filter(F.col("url") == url2).count()
+    assert after > before  # the new paragraph produced new triples

@@ -7,6 +7,7 @@ Usage (package shipped via --py-files; build the zip with
     spark-submit --py-files dist/irkg.zip scripts/submit.py \\
         synth --out /data/pages --n 100000
     spark-submit ... run --pages /data/pages --workdir /data/kg [--no-resume]
+    spark-submit ... upsert --pages /data/recrawl --workdir /data/kg
     spark-submit ... stream --in /data/drops --out /data/triples \\
         --checkpoint /data/ckpt
     python -m inclusionreferenceskg_spark.cli metrics --workdir /data/kg \\
@@ -44,6 +45,13 @@ def main(argv=None) -> int:
     p_run.add_argument("--workdir", required=True)
     p_run.add_argument("--no-resume", action="store_true")
 
+    p_upsert = sub.add_parser(
+        "upsert", help="recrawl snapshot -> incremental update of the KG "
+                       "tables (new urls appended, changed urls "
+                       "copy-on-write rewritten, unchanged urls untouched)")
+    p_upsert.add_argument("--pages", required=True)
+    p_upsert.add_argument("--workdir", required=True)
+
     p_stream = sub.add_parser("stream", help="streaming drop dir -> triples")
     p_stream.add_argument("--in", dest="inp", required=True)
     p_stream.add_argument("--out", required=True)
@@ -56,7 +64,7 @@ def main(argv=None) -> int:
                            help="one stage name (default: all committed)")
 
     args = ap.parse_args(argv)
-    if args.cmd == "run":
+    if args.cmd in ("run", "upsert"):
         # fail fast with an argparse-style message for plain local paths
         # (scheme-qualified paths — hdfs://, s3a:// — defer to Spark), but
         # only when the run is actually local: with a cluster master or a
@@ -108,6 +116,17 @@ def main(argv=None) -> int:
             "manifests": {s: cat.manifest(s)["rows"]
                           for s in ("nodes", "qualifiers", "resolved",
                                     "graph_rows", "triples")},
+        }))
+    elif args.cmd == "upsert":
+        from inclusionreferenceskg_spark.plans.checkpoint import run_upsert
+        pages = spark.read.parquet(args.pages)
+        triples = run_upsert(spark, pages, args.workdir)
+        cat = Catalog(args.workdir)
+        print(json.dumps({
+            "triples": triples.count(),
+            "url_fps": cat.manifest("url_fps")["rows"],
+            "snapshots": [h["version"]
+                          for h in cat.history("triples")],
         }))
     elif args.cmd == "stream":
         q = run_stream_to_triples(spark, args.inp, args.out, args.checkpoint)

@@ -74,7 +74,14 @@ class Catalog:
         writer.parquet(path)
 
         spark = df.sparkSession
-        out = spark.read.parquet(path)
+        try:
+            out = spark.read.parquet(path)
+        except Exception:
+            # a partitionBy write of ZERO rows leaves no part files (only
+            # _SUCCESS), so schema inference fails — commit an honest
+            # empty table with the writer's schema instead of crashing
+            # (an upsert whose changed pages produce no rows hits this)
+            out = spark.createDataFrame([], df.schema)
         if cols:
             part_rows = [
                 {"partition": "/".join(f"{c}={r[c]}" for c in cols),

@@ -12,7 +12,7 @@ def test_missing_subcommand_is_clean_error(capsys):
     with pytest.raises(SystemExit) as e:
         main([])
     assert e.value.code == 2
-    assert "synth,run,stream" in capsys.readouterr().err
+    assert "synth,run,upsert,stream" in capsys.readouterr().err
 
 
 def test_run_missing_pages_path_is_clean_error(capsys):

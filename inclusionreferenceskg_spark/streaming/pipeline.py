@@ -98,3 +98,28 @@ def run_stream_incremental(spark: SparkSession, input_dir: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_stream_upsert(spark: SparkSession, input_dir: str,
+                      workdir: str, checkpoint_dir: str,
+                      available_now: bool = True):
+    """Crawl-refresh stream with CONTENT-change handling: each micro-batch
+    goes through ``plans.checkpoint.run_upsert``, so new urls append,
+    urls whose text changed are copy-on-write rewritten at partition
+    granularity, and unchanged redeliveries are no-ops (the fingerprint
+    probe makes the sink idempotent under at-least-once delivery)."""
+    from inclusionreferenceskg_spark.plans.checkpoint import run_upsert
+
+    pages = stream_pages(spark, input_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        run_upsert(spark, batch_df, workdir)
+
+    writer = (pages.writeStream
+              .foreachBatch(process)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -12,6 +12,10 @@ Usage (package shipped via --py-files; build the zip with
         --checkpoint /data/ckpt
     python -m inclusionreferenceskg_spark.cli metrics --workdir /data/kg \\
         [--stage nodes]   # per-stage/per-partition lineage (no Spark)
+    spark-submit ... compact --workdir /data/kg --stage triples \\
+        [--max-records-per-file N]   # bin-pack fast-append small files
+    python -m inclusionreferenceskg_spark.cli expire --workdir /data/kg \\
+        --stage triples --keep-last 2  # snapshot GC + vacuum (no Spark)
 
 Locally the same surface runs as ``python -m inclusionreferenceskg_spark.cli``.
 """
@@ -63,6 +67,22 @@ def main(argv=None) -> int:
     p_metrics.add_argument("--stage", default=None,
                            help="one stage name (default: all committed)")
 
+    p_compact = sub.add_parser(
+        "compact", help="rewrite_data_files: bin-pack a stage table's "
+                        "small files (fast-append debris) into one "
+                        "right-sized file per partition; prior snapshots "
+                        "stay time-travelable until 'expire'")
+    p_compact.add_argument("--workdir", required=True)
+    p_compact.add_argument("--stage", default="triples")
+    p_compact.add_argument("--max-records-per-file", type=int, default=None)
+
+    p_expire = sub.add_parser(
+        "expire", help="expire_snapshots: keep the newest K snapshots and "
+                       "vacuum data files nothing retained references")
+    p_expire.add_argument("--workdir", required=True)
+    p_expire.add_argument("--stage", default="triples")
+    p_expire.add_argument("--keep-last", type=int, default=1)
+
     args = ap.parse_args(argv)
     if args.cmd in ("run", "upsert"):
         # fail fast with an argparse-style message for plain local paths
@@ -80,6 +100,12 @@ def main(argv=None) -> int:
         if ("://" not in args.pages and runs_local
                 and not os.path.exists(args.pages)):
             ap.error(f"--pages path does not exist: {args.pages}")
+
+    if args.cmd == "expire":
+        # pure metadata + local file surgery — no Spark session needed
+        print(json.dumps(Catalog(args.workdir).expire_snapshots(
+            args.stage, keep_last=args.keep_last)))
+        return 0
 
     if args.cmd == "metrics":
         # pure manifest read — no Spark session (works on a laptop against
@@ -107,10 +133,15 @@ def main(argv=None) -> int:
             .write.mode("overwrite").parquet(args.out)
         print(json.dumps({"written": args.out, "n": args.n}))
     elif args.cmd == "run":
+        from inclusionreferenceskg_spark.plans.checkpoint import _page_fps
         pages = spark.read.parquet(args.pages)
         triples = run_checkpointed(spark, pages, args.workdir,
                                    resume=not args.no_resume)
         cat = Catalog(args.workdir)
+        # commit content fingerprints so a later `upsert` can skip
+        # unchanged urls instead of conservatively rewriting everything
+        if not cat.is_complete("url_fps"):
+            cat.write("url_fps", _page_fps(pages), bucket_url="url")
         print(json.dumps({
             "triples": triples.count(),
             "manifests": {s: cat.manifest(s)["rows"]
@@ -128,6 +159,10 @@ def main(argv=None) -> int:
             "snapshots": [h["version"]
                           for h in cat.history("triples")],
         }))
+    elif args.cmd == "compact":
+        print(json.dumps(Catalog(args.workdir).compact(
+            spark, args.stage,
+            max_records_per_file=args.max_records_per_file)))
     elif args.cmd == "stream":
         q = run_stream_to_triples(spark, args.inp, args.out, args.checkpoint)
         q.awaitTermination()

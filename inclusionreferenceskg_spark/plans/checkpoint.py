@@ -191,7 +191,15 @@ def run_upsert(spark: SparkSession, pages: DataFrame,
         cat.write("url_fps", _page_fps(pages), bucket_url="url")
         return out
     fps = _page_fps(pages)
-    old_fps = cat.read(spark, "url_fps").select("url", "fp")
+    if cat.is_complete("url_fps"):
+        old_fps = cat.read(spark, "url_fps").select("url", "fp")
+    else:
+        # table bootstrapped by plain run_checkpointed (no fingerprints
+        # committed): nothing proves any url unchanged, so every
+        # delivered url is conservatively treated as changed — one
+        # full-cost upsert that commits url_fps and restores the cheap
+        # fingerprint path for every later recrawl
+        old_fps = spark.createDataFrame([], "url string, fp string")
     changed = (fps.join(old_fps, ["url", "fp"], "left_anti")
                .select("url").persist())
     probe = changed.agg(
@@ -209,5 +217,8 @@ def run_upsert(spark: SparkSession, pages: DataFrame,
     out = _cow_upsert(spark, cat, dcat, "triples", changed,
                       delta.drop("url_bucket"), partition_by=lang_cols)
     fresh_fps = fps.join(changed, "url", "left_semi")
-    _cow_upsert(spark, cat, dcat, "url_fps", changed, fresh_fps)
+    if cat.is_complete("url_fps"):
+        _cow_upsert(spark, cat, dcat, "url_fps", changed, fresh_fps)
+    else:
+        cat.write("url_fps", fresh_fps, bucket_url="url")
     return out

@@ -24,6 +24,25 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 DEFAULT_BUCKETS = 16
 
 
+def _norm(path: str) -> str:
+    """Normalize a Spark file URI to a local filesystem path."""
+    if path.startswith("file:"):
+        path = path[5:]
+        while path.startswith("//"):
+            path = path[1:]
+    return path
+
+
+def _list_data_files(root: str) -> list:
+    """Every parquet data file under ``root`` (recursive, sorted)."""
+    out = []
+    for dirpath, _dirs, files in os.walk(root):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                out.append(os.path.join(dirpath, fn))
+    return sorted(out)
+
+
 def with_bucket(df: DataFrame, url_col: str = "url",
                 n_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
     """Stable hash bucket column (the bucket(url) transform)."""
@@ -67,21 +86,45 @@ class Catalog:
         if bucket_url:
             df = with_bucket(df, bucket_url, n_buckets)
             cols.append("url_bucket")
+        path = self.table_path(name)
+        # compaction shadows replaced files in place (they stay on disk
+        # for time travel until expire_snapshots), so for non-overwrite
+        # commits the new table state is METADATA-resolved: surviving
+        # files of the previous snapshot ∪ the files this write adds —
+        # never a raw directory listing, which would double-count shadows
+        prev_files = None
+        if mode in ("append", "upsert"):
+            prev_files = [f for f in self._latest_files(name)
+                          if os.path.exists(f)]
+        before = set(_list_data_files(path)) if prev_files is not None \
+            else set()
         writer = df.write.mode("append" if mode == "upsert" else mode)
         if cols:
             writer = writer.partitionBy(*cols)
-        path = self.table_path(name)
         writer.parquet(path)
 
         spark = df.sparkSession
-        try:
-            out = spark.read.parquet(path)
-        except Exception:
+        if prev_files is not None:
+            cur_files = sorted(
+                set(prev_files) | (set(_list_data_files(path)) - before))
+        else:
+            cur_files = _list_data_files(path)
+        if cur_files:
+            out = (spark.read.option("basePath", path).parquet(*cur_files))
+        else:
             # a partitionBy write of ZERO rows leaves no part files (only
-            # _SUCCESS), so schema inference fails — commit an honest
-            # empty table with the writer's schema instead of crashing
-            # (an upsert whose changed pages produce no rows hits this)
+            # _SUCCESS) — commit an honest empty table with the writer's
+            # schema instead of crashing (an upsert whose changed pages
+            # produce no rows hits this)
             out = spark.createDataFrame([], df.schema)
+        manifest = self._build_manifest(name, out, cols, t0)
+        with open(self._manifest_path(name), "w") as f:
+            json.dump(manifest, f, indent=1)
+        self._commit_snapshot(name, manifest, mode, cur_files)
+        return out
+
+    def _build_manifest(self, name: str, out: DataFrame,
+                        cols: Sequence[str], t0: float) -> dict:
         if cols:
             part_rows = [
                 {"partition": "/".join(f"{c}={r[c]}" for c in cols),
@@ -96,17 +139,13 @@ class Catalog:
             F.expr("bit_xor(xxhash64({}))".format(
                 ", ".join(f"`{c}`" for c in hashable)))
             .alias("c")).first()["c"]
-        manifest = {
+        return {
             "stage": name,
             "partitions": part_rows,
             "rows": sum(p["rows"] for p in part_rows),
             "checksum": str(checksum),
             "wall_ms": int((time.perf_counter() - t0) * 1000),
         }
-        with open(self._manifest_path(name), "w") as f:
-            json.dump(manifest, f, indent=1)
-        self._commit_snapshot(name, out, manifest, mode)
-        return out
 
     # ------------------------------------------------ snapshot log
     # Iceberg-style time travel: every commit records the exact data-file
@@ -118,26 +157,46 @@ class Catalog:
     def _snapshot_dir(self, name: str) -> str:
         return os.path.join(self.root, "_lineage", f"{name}.snapshots")
 
-    def _commit_snapshot(self, name: str, out: DataFrame,
-                         manifest: dict, mode: str) -> None:
-        # append keeps every prior file, so history stays readable; both
-        # overwrite flavors physically delete replaced files (this
-        # fallback has no expire_snapshots grace period), so they reset
-        # the snapshot log rather than leave dangling versions
+    def _commit_snapshot(self, name: str, manifest: dict, mode: str,
+                         files: Sequence[str]) -> None:
+        # append/compact keep every prior file, so history stays
+        # readable; both overwrite flavors physically delete replaced
+        # files (overwrite wipes the directory; upsert's caller removes
+        # the replaced partition dirs), so they reset the snapshot log
+        # rather than leave dangling versions
         d = self._snapshot_dir(name)
-        if mode != "append" and os.path.isdir(d):
+        if mode not in ("append", "compact") and os.path.isdir(d):
             for f in os.listdir(d):
                 os.unlink(os.path.join(d, f))
         os.makedirs(d, exist_ok=True)
-        version = len(os.listdir(d)) + 1
+        versions = [int(fn[1:-5]) for fn in os.listdir(d)]
+        version = (max(versions) + 1) if versions else 1
         snap = {
             "version": version,
             "rows": manifest["rows"],
             "checksum": manifest["checksum"],
-            "files": sorted(out.inputFiles()),
+            "files": sorted(_norm(f) for f in files),
         }
         with open(os.path.join(d, f"v{version}.json"), "w") as f:
             json.dump(snap, f, indent=1)
+
+    def _snapshot_versions(self, name: str) -> list:
+        d = self._snapshot_dir(name)
+        if not os.path.isdir(d):
+            return []
+        return sorted(int(fn[1:-5]) for fn in os.listdir(d))
+
+    def _snapshot(self, name: str, version: int) -> dict:
+        with open(os.path.join(self._snapshot_dir(name),
+                               f"v{version}.json")) as f:
+            return json.load(f)
+
+    def _latest_files(self, name: str) -> list:
+        """Data files of the latest committed snapshot ([] if none)."""
+        versions = self._snapshot_versions(name)
+        if not versions:
+            return []
+        return [_norm(f) for f in self._snapshot(name, versions[-1])["files"]]
 
     def history(self, name: str) -> list:
         """Snapshot log (oldest first): [{version, rows, checksum}, ...]."""
@@ -155,15 +214,117 @@ class Catalog:
     def read(self, spark: SparkSession, name: str,
              version: Optional[int] = None) -> DataFrame:
         """Read a stage table; ``version=k`` time-travels to snapshot k
-        (partition columns recovered via basePath)."""
+        (partition columns recovered via basePath).
+
+        The CURRENT state is resolved through the latest snapshot's file
+        list, not a directory listing — after ``compact()`` the replaced
+        small files are still on disk (shadowed, awaiting
+        ``expire_snapshots``) and must not be double-read.  Files the
+        latest snapshot lists but which are gone from disk (the window
+        between ``_cow_upsert``'s partition-dir delete and its recommit)
+        are skipped, matching the old directory-listing semantics.
+        """
         if version is None:
-            return spark.read.parquet(self.table_path(name))
-        with open(os.path.join(self._snapshot_dir(name),
-                               f"v{version}.json")) as f:
-            snap = json.load(f)
+            versions = self._snapshot_versions(name)
+            if not versions:
+                return spark.read.parquet(self.table_path(name))
+            files = [f for f in self._latest_files(name)
+                     if os.path.exists(f)]
+            if not files:
+                return spark.read.parquet(self.table_path(name))
+            return (spark.read
+                    .option("basePath", self.table_path(name))
+                    .parquet(*files))
+        snap = self._snapshot(name, version)
         return (spark.read
                 .option("basePath", self.table_path(name))
-                .parquet(*snap["files"]))
+                .parquet(*[_norm(f) for f in snap["files"]]))
+
+    # ------------------------------------------- table maintenance
+    def compact(self, spark: SparkSession, name: str,
+                max_records_per_file: Optional[int] = None) -> dict:
+        """Iceberg ``rewrite_data_files``: bin-pack each partition's
+        small files (the debris of incremental fast-appends — at crawl
+        scale thousands of tiny files per partition per day) into one
+        right-sized file per partition, committed as a NEW snapshot.
+
+        The replaced files are NOT deleted — they stay on disk so every
+        prior snapshot remains time-travelable — they are merely dropped
+        from the new snapshot's file list ("shadowed") until
+        ``expire_snapshots`` garbage-collects them.  The rewrite is pure
+        repartitioning: rows, schema, and the order-independent xxhash64
+        checksum are asserted unchanged before the commit.
+        """
+        t0 = time.perf_counter()
+        prev = self.manifest(name)
+        cur = self.read(spark, name)
+        path = self.table_path(name)
+        old_files = [f for f in self._latest_files(name)
+                     if os.path.exists(f)] or _list_data_files(path)
+        # partition columns as laid out on disk (e.g. lang=en/url_bucket=3)
+        cols = []
+        if old_files:
+            rel = os.path.relpath(old_files[0], path)
+            cols = [seg.split("=", 1)[0]
+                    for seg in rel.split(os.sep)[:-1] if "=" in seg]
+        before = set(_list_data_files(path))
+        writer_df = (cur.repartition(*[F.col(c) for c in cols])
+                     if cols else cur.coalesce(1))
+        writer = writer_df.write.mode("append")
+        if max_records_per_file:
+            writer = writer.option("maxRecordsPerFile",
+                                   max_records_per_file)
+        if cols:
+            writer = writer.partitionBy(*cols)
+        writer.parquet(path)
+        new_files = sorted(set(_list_data_files(path)) - before)
+        out = spark.read.option("basePath", path).parquet(*new_files)
+        manifest = self._build_manifest(name, out, cols, t0)
+        if (manifest["rows"] != prev["rows"]
+                or manifest["checksum"] != prev["checksum"]):
+            for f in new_files:  # abort: leave the table untouched
+                os.unlink(f)
+            raise RuntimeError(
+                f"compact({name}): rewrite changed the table "
+                f"(rows {prev['rows']}→{manifest['rows']}, checksum "
+                f"{prev['checksum']}→{manifest['checksum']})")
+        with open(self._manifest_path(name), "w") as f:
+            json.dump(manifest, f, indent=1)
+        self._commit_snapshot(name, manifest, "compact", new_files)
+        return {"stage": name, "files_before": len(old_files),
+                "files_after": len(new_files),
+                "rows": manifest["rows"],
+                "wall_ms": manifest["wall_ms"]}
+
+    def expire_snapshots(self, name: str, keep_last: int = 1) -> dict:
+        """Iceberg ``expire_snapshots`` + orphan-file vacuum: drop all
+        but the newest ``keep_last`` snapshots and physically delete
+        every data file no retained snapshot references.  This is the
+        garbage-collection half of ``compact`` (which only shadows) and
+        bounds the table's on-disk footprint under continuous
+        fast-append + rewrite churn."""
+        versions = self._snapshot_versions(name)
+        retained = versions[-keep_last:] if keep_last > 0 else []
+        live = set()
+        for v in retained:
+            live.update(_norm(f) for f in self._snapshot(name, v)["files"])
+        path = self.table_path(name)
+        deleted = 0
+        for f in _list_data_files(path):
+            if f not in live:
+                os.unlink(f)
+                deleted += 1
+        # prune now-empty partition directories (leaves _SUCCESS at root)
+        for dirpath, _dirs, _files in os.walk(path, topdown=False):
+            if dirpath != path and not os.listdir(dirpath):
+                os.rmdir(dirpath)
+        d = self._snapshot_dir(name)
+        for v in versions:
+            if v not in retained:
+                os.unlink(os.path.join(d, f"v{v}.json"))
+        return {"stage": name,
+                "expired_snapshots": len(versions) - len(retained),
+                "deleted_files": deleted}
 
     def manifest(self, name: str) -> dict:
         with open(self._manifest_path(name)) as f:

@@ -106,3 +106,33 @@ def test_upsert_content_change_actually_changes_triples(spark,
     t2 = run_upsert(spark, _mutate(spark, pages, 2, 1), work)
     after = t2.filter(F.col("url") == url2).count()
     assert after > before  # the new paragraph produced new triples
+
+
+def test_upsert_after_plain_run_self_heals(spark, tmp_path_factory):
+    """A table bootstrapped by run_checkpointed (no url_fps committed)
+    must still accept an upsert: the first one conservatively treats all
+    delivered urls as changed and commits fingerprints, restoring the
+    cheap path."""
+    work = str(tmp_path_factory.mktemp("ups3"))
+    base = synth.synthesize_pages(spark, 8)
+    run_checkpointed(spark, base.filter(F.col("doc_rank") < 6), work)
+    cat = Catalog(work)
+    assert not cat.is_complete("url_fps")
+
+    snap2 = _mutate(spark, base, 1, 1)  # 1 changed + 2 new + 5 unchanged
+    got = run_upsert(spark, snap2, work)
+    want = run_checkpointed(spark, snap2,
+                            str(tmp_path_factory.mktemp("full")))
+    assert _rows(got) == _rows(want)
+    assert cat.is_complete("url_fps")
+    assert cat.manifest("url_fps")["rows"] == 8
+
+    # fingerprints now committed: redelivering the same snapshot is a
+    # no-op (no second delta directory appears)
+    inc_root = os.path.join(work, "increments")
+    n_deltas = len([d for d in os.listdir(inc_root)
+                    if d.startswith("ups_")])
+    again = run_upsert(spark, snap2, work)
+    assert _rows(again) == _rows(want)
+    assert len([d for d in os.listdir(inc_root)
+                if d.startswith("ups_")]) == n_deltas

@@ -62,6 +62,13 @@ PR_DAMP_NUM, PR_DAMP_DEN = 85, 100
 #: seed predicate modulus for the catalog k-hop entry
 KHOP_SEED_MOD = 97
 
+#: seed predicate modulus and hop bound for the catalog SSSP entry
+SSSP_SEED_MOD = 101
+SSSP_MAX_HOPS = 4
+
+#: edge weights are 1..W_MOD (deterministic portable hash)
+W_MOD = 9
+
 
 def link_edges(documents: DataFrame, fanout: int = FANOUT) -> DataFrame:
     """Deterministic directed link graph: (src, dst), self-loops dropped,
@@ -115,6 +122,56 @@ def khop(seeds: DataFrame, edges: DataFrame, k: int) -> DataFrame:
         visited = visited.unionByName(nxt)
         frontier = nxt
     return visited
+
+
+def weighted_edges(edges: DataFrame) -> DataFrame:
+    """Deterministic integer edge weight in 1..W_MOD: (src, dst, w).
+    The portable hash keeps both engines byte-identical (a real link
+    graph would carry latency/click-count weights on the href)."""
+    return edges.withColumn(
+        "w", (hash64(F.concat_ws(":", F.lit("w"), F.col("src"),
+                                 F.col("dst"))) % W_MOD + F.lit(1))
+        .cast("long"))
+
+
+def sssp(seeds: DataFrame, edges_w: DataFrame, max_hops: int) -> DataFrame:
+    """Hop-bounded single-source shortest paths from ``seeds`` (column
+    ``node``) over weighted edges (src, dst, w): (node, dist) where dist
+    is the min total weight over paths of at most ``max_hops`` edges.
+
+    Distributed Bellman-Ford with the delta (frontier) optimization:
+    each round relaxes only the nodes whose distance improved in the
+    previous round — after round k every ≤k-hop-optimal value is
+    present (if the optimal prefix to u_i reached its value at round
+    r ≤ i, u_i sat in round r's frontier, so round r+1 relaxed the edge
+    to u_{i+1}).  Integer min is order-independent, so the DuckDB
+    recursive-CTE twin hash-matches exactly.
+
+    Scale shape: each round is one join keyed on ``src`` (the frontier
+    is the small side — broadcastable while it fits) plus one map-side-
+    combinable groupBy-min on ``node``; nothing is ever all-pairs.  The
+    running dist table is persisted per round to keep the unrolled plan
+    shallow; for large hop counts, checkpoint-truncate lineage every few
+    rounds (the CC min-label-loop policy in ``kg.py``) and stop early
+    when a round's improved-set is empty.
+    """
+    dist = seeds.select(
+        "node", F.lit(0).cast("long").alias("dist")).persist()
+    frontier = dist
+    for _ in range(max_hops):
+        cand = (frontier.join(edges_w, frontier["node"] == edges_w["src"])
+                .select(F.col("dst").alias("node"),
+                        (F.col("dist") + F.col("w")).alias("dist"))
+                .groupBy("node").agg(F.min("dist").alias("dist")))
+        j = cand.alias("c").join(dist.alias("d"), "node", "left")
+        improved = (j.filter(F.col("d.dist").isNull()
+                             | (F.col("c.dist") < F.col("d.dist")))
+                    .select("node", F.col("c.dist").alias("dist"))
+                    .persist())
+        dist = (dist.join(improved.select("node"), "node", "left_anti")
+                .unionByName(improved).persist())
+        frontier = improved
+    return dist
 
 
 def pagerank(documents: DataFrame, edges: DataFrame,
@@ -219,6 +276,17 @@ def triangles_degree_oriented(edges: DataFrame) -> DataFrame:
     # OR-closure catches both rank orders of (y, z), and the y != z
     # filter drops degenerate wedge legs
     return closed.agg((F.count("*") / 2).cast("long").alias("n_triangles"))
+
+
+def weighted_edges_sql() -> str:
+    """DuckDB twin of ``weighted_edges`` given a CTE ``e(src, dst)``:
+    CTE body yielding (src, dst, w)."""
+    return f"""
+      select src, dst,
+             (cast('0x' || substring(md5('w:' || cast(src as varchar)
+                  || ':' || cast(dst as varchar)), 1, 15) as bigint)
+              % {W_MOD}) + 1 as w
+      from e"""
 
 
 def edges_sql(fanout: int = FANOUT) -> str:

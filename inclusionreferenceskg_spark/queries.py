@@ -725,6 +725,18 @@ def graph_triangles_skewaware(spark, sf_dir):
     return graph_ops.triangles_degree_oriented(_doc_edges(spark, sf_dir))
 
 
+def graph_sssp(spark, sf_dir):
+    """Hop-bounded weighted shortest paths (distributed Bellman-Ford
+    with frontier relaxation) from a deterministic seed set."""
+    docs = _t(spark, sf_dir, "documents")
+    seeds = docs.filter(
+        F.col("doc_id") % graph_ops.SSSP_SEED_MOD == 0).select(
+        F.col("doc_id").alias("node"))
+    e = graph_ops.weighted_edges(graph_ops.link_edges(docs))
+    return graph_ops.sssp(
+        seeds, e, max_hops=graph_ops.SSSP_MAX_HOPS).orderBy("node")
+
+
 # ------------------------------------------------------------- KG pipeline
 
 def kg_nodes(spark, sf_dir):
@@ -853,6 +865,7 @@ QUERIES: Dict[str, Callable] = {
     "graph_pagerank": graph_pagerank,
     "graph_triangles": graph_triangles,
     "graph_triangles_skewaware": graph_triangles_skewaware,
+    "graph_sssp": graph_sssp,
     "kg_nodes": kg_nodes,
     "kg_extracted_text": kg_extracted_text,
     "kg_mentions": kg_mentions,
@@ -1730,6 +1743,18 @@ ORACLES["graph_triangles"] = f"""
 # the triangle count is orientation-invariant: the degree-oriented plan
 # (skew-safe on power-law graphs) must produce the identical number
 ORACLES["graph_triangles_skewaware"] = ORACLES["graph_triangles"]
+
+ORACLES["graph_sssp"] = f"""
+    with recursive e as ({_EDGES}),
+    ew as ({graph_ops.weighted_edges_sql()}),
+    r(node, dist, hops) as (
+      select doc_id, cast(0 as bigint), 0 from documents
+      where doc_id % {graph_ops.SSSP_SEED_MOD} = 0
+      union
+      select ew.dst, r.dist + ew.w, r.hops + 1
+      from r join ew on ew.src = r.node
+      where r.hops < {graph_ops.SSSP_MAX_HOPS})
+    select node, min(dist) as dist from r group by node order by node"""
 
 
 # -------------------------------------------- packing / indexing oracles

@@ -98,3 +98,40 @@ def test_triangle_variants_match_enumeration(spark, edges):
     assert g.triangles(e).collect()[0]["n_triangles"] == want
     assert (g.triangles_degree_oriented(e)
             .collect()[0]["n_triangles"]) == want
+
+
+def _sssp_sim(wedges, seeds, max_hops):
+    """Hop-bounded Bellman-Ford, relaxing every edge each round."""
+    dist = {s: 0 for s in seeds}
+    for _ in range(max_hops):
+        new = dict(dist)
+        for s, d, w in wedges:
+            if s in dist and dist[s] + w < new.get(d, float("inf")):
+                new[d] = dist[s] + w
+        dist = new
+    return dist
+
+
+weighted_edge_lists = st.lists(
+    st.tuples(st.integers(0, N_NODES - 1), st.integers(0, N_NODES - 1),
+              st.integers(1, 9))
+    .filter(lambda p: p[0] != p[1]),
+    min_size=0, max_size=12).map(
+        lambda es: sorted({(s, d): w for s, d, w in es}.items())).map(
+        lambda es: [(s, d, w) for (s, d), w in es])
+
+
+@settings(max_examples=12, deadline=None)
+@given(weighted_edge_lists)
+def test_sssp_matches_bellman_ford(spark, wedges):
+    docs = spark.createDataFrame([(i,) for i in range(N_NODES)],
+                                 "doc_id long")
+    e = spark.createDataFrame(wedges or [(0, 1, 1)],
+                              "src long, dst long, w long")
+    if not wedges:
+        e = e.filter(F.lit(False))
+    seeds = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("node"))
+    got = {r["node"]: r["dist"]
+           for r in g.sssp(seeds, e, max_hops=3).collect()}
+    assert got == _sssp_sim(wedges, [0, 3], 3)

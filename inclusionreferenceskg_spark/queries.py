@@ -801,6 +801,51 @@ def kg_entities(spark, sf_dir):
                      "target_url", "target_node_id"))
 
 
+def _kg_citation_edges(spark, sf_dir):
+    """Document-level citation graph from RESOLVED references: one
+    distinct (src, dst) edge per citing-doc → cited-doc pair, self
+    (intra-document) references dropped."""
+    nodes = _kg_nodes(spark, sf_dir)
+    res = resolve_targets(build_qualifiers(nodes), nodes)
+    return (res.filter(F.col("target_url").isNotNull())
+            .select(F.col("url").alias("src"),
+                    F.col("target_url").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct())
+
+
+def kg_citation_authority(spark, sf_dir):
+    """Authority ranking of documents in the resolved citation graph:
+    integer-scaled PageRank (graph.pagerank reused verbatim — node ids
+    are urls; only the rank arithmetic is numeric).  This is the query a
+    legal-KG user actually asks of the end product ('which regulation do
+    the others lean on') and it runs on PIPELINE OUTPUT, so it is
+    rows-only for the driver gate; value-level checks live in
+    tests/test_kg_citations.py (mass conservation, simulator equality on
+    the extracted edge list, determinism)."""
+    nodes = _kg_nodes(spark, sf_dir)
+    docs = nodes.select(F.col("url").alias("doc_id")).distinct()
+    pr = graph_ops.pagerank(docs, _kg_citation_edges(spark, sf_dir),
+                            iters=5)
+    return pr.orderBy(F.desc("rank"), "node")
+
+
+def kg_cocitation(spark, sf_dir):
+    """Co-citation strength between cited documents: pairs (a, b) of
+    documents cited BY the same citing document, with the number of
+    distinct co-citing documents.  One self-join keyed on the citing
+    url (per-doc citation fan-out is bounded by references-per-page, so
+    no skew cap is needed) + one map-side-combinable count."""
+    e = _kg_citation_edges(spark, sf_dir)
+    lhs = e.select(F.col("src").alias("citer"), F.col("dst").alias("a"))
+    rhs = e.select(F.col("src").alias("citer"), F.col("dst").alias("b"))
+    return (lhs.join(rhs, "citer")
+            .filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.countDistinct("citer").alias("n_cociting"))
+            .orderBy(F.desc("n_cociting"), "a", "b"))
+
+
 # ------------------------------------------------------------------ catalog
 
 QUERIES: Dict[str, Callable] = {
@@ -873,6 +918,8 @@ QUERIES: Dict[str, Callable] = {
     "kg_resolved": kg_resolved,
     "kg_triples": kg_triples,
     "kg_entities": kg_entities,
+    "kg_citation_authority": kg_citation_authority,
+    "kg_cocitation": kg_cocitation,
 }
 
 

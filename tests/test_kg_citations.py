@@ -1,0 +1,70 @@
+"""Citation-graph analytics over pipeline output (rows-only catalog
+entries): value-level checks via a pure-Python simulator on the
+extracted edge list plus structural invariants."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from inclusionreferenceskg_spark import queries as Q
+from inclusionreferenceskg_spark.operators import graph as g
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_citation_edges_are_cross_document(spark):
+    e = Q._kg_citation_edges(spark, SF)
+    rows = e.collect()
+    assert len(rows) > 50
+    assert all(r["src"] != r["dst"] for r in rows)
+    assert len({(r["src"], r["dst"]) for r in rows}) == len(rows)
+
+
+def test_citation_authority_matches_integer_simulator(spark):
+    edges = [(r["src"], r["dst"])
+             for r in Q._kg_citation_edges(spark, SF).collect()]
+    urls = sorted({r["url"] for r in
+                   Q._kg_nodes(spark, SF).select("url")
+                   .distinct().collect()})
+    n = len(urls)
+    outdeg = defaultdict(int)
+    for s, _ in edges:
+        outdeg[s] += 1
+    rank = {u: g.PR_SCALE // n for u in urls}
+    base = (g.PR_SCALE * (g.PR_DAMP_DEN - g.PR_DAMP_NUM)) // (
+        g.PR_DAMP_DEN * n)
+    for _ in range(5):
+        contrib = defaultdict(int)
+        for s, d in edges:
+            contrib[d] += (rank[s] * g.PR_DAMP_NUM) // (
+                g.PR_DAMP_DEN * outdeg[s])
+        rank = {u: base + contrib[u] for u in urls}
+
+    got = {r["node"]: r["rank"]
+           for r in Q.kg_citation_authority(spark, SF).collect()}
+    assert got == rank
+    # rank mass is conserved up to integer-division dust
+    assert 0 < sum(got.values()) <= g.PR_SCALE
+    # the authority ranking is non-trivial: cited docs outrank uncited
+    uncited = set(urls) - {d for _, d in edges}
+    if uncited and len(uncited) < n:
+        top = max(got, key=got.get)
+        assert top not in uncited
+
+
+def test_cocitation_matches_enumeration(spark):
+    edges = [(r["src"], r["dst"])
+             for r in Q._kg_citation_edges(spark, SF).collect()]
+    by_citer = defaultdict(set)
+    for s, d in edges:
+        by_citer[s].add(d)
+    want = defaultdict(set)
+    for citer, ds in by_citer.items():
+        ds = sorted(ds)
+        for i, a in enumerate(ds):
+            for b in ds[i + 1:]:
+                want[(a, b)].add(citer)
+    got = {(r["a"], r["b"]): r["n_cociting"]
+           for r in Q.kg_cocitation(spark, SF).collect()}
+    assert got == {k: len(v) for k, v in want.items()}
+    assert all(a < b for a, b in got)

@@ -278,6 +278,72 @@ def triangles_degree_oriented(edges: DataFrame) -> DataFrame:
     return closed.agg((F.count("*") / 2).cast("long").alias("n_triangles"))
 
 
+def label_propagation(documents: DataFrame, edges: DataFrame,
+                      iters: int = 4) -> DataFrame:
+    """Synchronous label-propagation community detection: (node, label).
+
+    Round 0 labels every node with its own id; each round every node
+    adopts the most frequent label among its (undirected) neighbors,
+    ties broken toward the SMALLEST label, isolated nodes keep their
+    label.  The tie-break makes sync LPA fully deterministic, so a
+    fixed-round run is hash-exact against the DuckDB chained-CTE twin
+    (free-running LPA can oscillate on bipartite structures — a fixed
+    round count is the honest, reproducible variant).
+
+    Scale shape: per round one join keyed on node id + two map-side-
+    combinable aggs — the argmax is ``max_by(label, (count, -label))``,
+    an AGGREGATE, not a count-over-window, so a celebrity node's votes
+    combine map-side instead of serializing one sort task (the repo's
+    dedup.py cap pattern).  Label tables persist per round; the
+    symmetrized edge table persists once and is reused every round.
+    """
+    sym = (edges.select("src", "dst")
+           .unionByName(edges.select(F.col("dst").alias("src"),
+                                     F.col("src").alias("dst")))
+           .distinct().persist())
+    labels = documents.select(
+        F.col("doc_id").alias("node"),
+        F.col("doc_id").cast("long").alias("label")).persist()
+    for _ in range(iters):
+        votes = (sym.join(labels, sym["dst"] == labels["node"])
+                 .groupBy(F.col("src").alias("n"), "label")
+                 .agg(F.count("*").alias("c")))
+        best = votes.groupBy("n").agg(
+            F.expr("max_by(label, struct(c, -label))").alias("new_label"))
+        labels = (labels.join(best, labels["node"] == best["n"], "left")
+                  .select("node",
+                          F.coalesce("new_label", "label").alias("label"))
+                  .persist())
+    return labels
+
+
+def label_propagation_sql(iters: int = 4) -> str:
+    """DuckDB twin of ``label_propagation`` given a CTE ``e(src, dst)``:
+    full SELECT yielding (node, label) — chained CTEs, one per round,
+    argmax as row_number over (count desc, label asc)."""
+    parts = [f"""
+    sym as (select src, dst from e
+            union
+            select dst as src, src as dst from e),
+    l0 as (select doc_id as node, cast(doc_id as bigint) as label
+           from documents)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+    v{i} as (select sym.src as n, l.label, count(*) as c
+             from sym join l{i - 1} l on l.node = sym.dst
+             group by sym.src, l.label),
+    b{i} as (select n, label from (
+               select n, label,
+                      row_number() over (partition by n
+                        order by c desc, label asc) as rk
+               from v{i}) where rk = 1),
+    l{i} as (select l.node, coalesce(b.label, l.label) as label
+             from l{i - 1} l left join b{i} b on b.n = l.node)""")
+    parts.append(f"""
+    select node, label from l{iters}""")
+    return "".join(parts)
+
+
 def weighted_edges_sql() -> str:
     """DuckDB twin of ``weighted_edges`` given a CTE ``e(src, dst)``:
     CTE body yielding (src, dst, w)."""

@@ -725,6 +725,13 @@ def graph_triangles_skewaware(spark, sf_dir):
     return graph_ops.triangles_degree_oriented(_doc_edges(spark, sf_dir))
 
 
+def graph_communities(spark, sf_dir):
+    """Deterministic synchronous label-propagation communities."""
+    docs = _t(spark, sf_dir, "documents")
+    return graph_ops.label_propagation(
+        docs, graph_ops.link_edges(docs), iters=4).orderBy("node")
+
+
 def graph_sssp(spark, sf_dir):
     """Hop-bounded weighted shortest paths (distributed Bellman-Ford
     with frontier relaxation) from a deterministic seed set."""
@@ -911,6 +918,7 @@ QUERIES: Dict[str, Callable] = {
     "graph_triangles": graph_triangles,
     "graph_triangles_skewaware": graph_triangles_skewaware,
     "graph_sssp": graph_sssp,
+    "graph_communities": graph_communities,
     "kg_nodes": kg_nodes,
     "kg_extracted_text": kg_extracted_text,
     "kg_mentions": kg_mentions,
@@ -1790,6 +1798,10 @@ ORACLES["graph_triangles"] = f"""
 # the triangle count is orientation-invariant: the degree-oriented plan
 # (skew-safe on power-law graphs) must produce the identical number
 ORACLES["graph_triangles_skewaware"] = ORACLES["graph_triangles"]
+
+ORACLES["graph_communities"] = f"""
+    with e as ({_EDGES}),{graph_ops.label_propagation_sql(iters=4)}
+    order by node"""
 
 ORACLES["graph_sssp"] = f"""
     with recursive e as ({_EDGES}),

@@ -135,3 +135,34 @@ def test_sssp_matches_bellman_ford(spark, wedges):
     got = {r["node"]: r["dist"]
            for r in g.sssp(seeds, e, max_hops=3).collect()}
     assert got == _sssp_sim(wedges, [0, 3], 3)
+
+
+def _lpa_sim(edges, n, iters):
+    """Sync label propagation, most-frequent neighbor label, ties to the
+    smallest label, isolated nodes keep theirs."""
+    sym = defaultdict(set)
+    for s, d in edges:
+        sym[s].add(d)
+        sym[d].add(s)
+    labels = {v: v for v in range(n)}
+    for _ in range(iters):
+        new = {}
+        for v in range(n):
+            if not sym[v]:
+                new[v] = labels[v]
+                continue
+            counts = defaultdict(int)
+            for u in sym[v]:
+                counts[labels[u]] += 1
+            new[v] = min(counts, key=lambda l: (-counts[l], l))
+        labels = new
+    return labels
+
+
+@settings(max_examples=12, deadline=None)
+@given(edge_lists)
+def test_label_propagation_matches_simulator(spark, edges):
+    docs, e = _dfs(spark, edges)
+    got = {r["node"]: r["label"]
+           for r in g.label_propagation(docs, e, iters=3).collect()}
+    assert got == _lpa_sim(edges, N_NODES, 3)

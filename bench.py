@@ -64,6 +64,8 @@ BENCH_QUERIES = [
     "graph_khop",
     "graph_pagerank",
     "graph_triangles",
+    "graph_sssp",
+    "graph_communities",
     "kg_nodes",
     "kg_mentions",
     "kg_resolved",

@@ -10,6 +10,8 @@ Usage (package shipped via --py-files; build the zip with
     spark-submit ... upsert --pages /data/recrawl --workdir /data/kg
     spark-submit ... stream --in /data/drops --out /data/triples \\
         --checkpoint /data/ckpt
+    spark-submit ... stream --in /data/drops --workdir /data/kg \\
+        --checkpoint /data/ckpt --mode upsert   # crawl-refresh stream
     python -m inclusionreferenceskg_spark.cli metrics --workdir /data/kg \\
         [--stage nodes]   # per-stage/per-partition lineage (no Spark)
     spark-submit ... compact --workdir /data/kg --stage triples \\
@@ -58,8 +60,18 @@ def main(argv=None) -> int:
 
     p_stream = sub.add_parser("stream", help="streaming drop dir -> triples")
     p_stream.add_argument("--in", dest="inp", required=True)
-    p_stream.add_argument("--out", required=True)
+    p_stream.add_argument("--out", default=None,
+                          help="triples output dir (mode=triples)")
     p_stream.add_argument("--checkpoint", required=True)
+    p_stream.add_argument(
+        "--mode", choices=["triples", "incremental", "upsert"],
+        default="triples",
+        help="triples: append-only sink; incremental: maintain the KG "
+             "catalog, new urls only (availableNow batch of the current "
+             "drops); upsert: also copy-on-write rewrite urls whose "
+             "content changed")
+    p_stream.add_argument("--workdir", default=None,
+                          help="KG catalog dir (mode=incremental/upsert)")
 
     p_metrics = sub.add_parser(
         "metrics", help="per-stage / per-partition lineage metrics")
@@ -84,6 +96,11 @@ def main(argv=None) -> int:
     p_expire.add_argument("--keep-last", type=int, default=1)
 
     args = ap.parse_args(argv)
+    if args.cmd == "stream":
+        if args.mode == "triples" and not args.out:
+            ap.error("--out is required with --mode triples")
+        if args.mode != "triples" and not args.workdir:
+            ap.error(f"--workdir is required with --mode {args.mode}")
     if args.cmd in ("run", "upsert"):
         # fail fast with an argparse-style message for plain local paths
         # (scheme-qualified paths — hdfs://, s3a:// — defer to Spark), but
@@ -121,6 +138,8 @@ def main(argv=None) -> int:
                 "checksum": m["checksum"],
                 "wall_ms": m["wall_ms"],
                 "n_partitions": len(m["partitions"]),
+                "n_data_files": len(cat._latest_files(s)),
+                "snapshots": [h["version"] for h in cat.history(s)],
                 "partitions": m["partitions"],
             }
         print(json.dumps(out, indent=1))
@@ -164,8 +183,25 @@ def main(argv=None) -> int:
             spark, args.stage,
             max_records_per_file=args.max_records_per_file)))
     elif args.cmd == "stream":
-        q = run_stream_to_triples(spark, args.inp, args.out, args.checkpoint)
-        q.awaitTermination()
+        if args.mode == "triples":
+            q = run_stream_to_triples(spark, args.inp, args.out,
+                                      args.checkpoint)
+            q.awaitTermination()
+        else:
+            from inclusionreferenceskg_spark.streaming.pipeline import (
+                run_stream_incremental,
+                run_stream_upsert,
+            )
+            fn = (run_stream_incremental if args.mode == "incremental"
+                  else run_stream_upsert)
+            q = fn(spark, args.inp, args.workdir, args.checkpoint)
+            q.awaitTermination()
+            cat = Catalog(args.workdir)
+            print(json.dumps({
+                "triples": cat.manifest("triples")["rows"],
+                "snapshots": [h["version"]
+                              for h in cat.history("triples")],
+            }))
     spark.stop()
     return 0
 

@@ -77,3 +77,19 @@ def test_run_scheme_qualified_path_skips_local_check():
     with pytest.raises(SystemExit) as e:
         main(["run", "--pages", "hdfs://nn/pages"])  # missing --workdir
     assert e.value.code == 2
+
+
+def test_stream_triples_requires_out(capsys):
+    with pytest.raises(SystemExit) as e:
+        main(["stream", "--in", "/tmp/in", "--checkpoint", "/tmp/c"])
+    assert e.value.code == 2
+    assert "--out is required with --mode triples" in capsys.readouterr().err
+
+
+def test_stream_upsert_requires_workdir(capsys):
+    with pytest.raises(SystemExit) as e:
+        main(["stream", "--in", "/tmp/in", "--checkpoint", "/tmp/c",
+              "--mode", "upsert"])
+    assert e.value.code == 2
+    assert "--workdir is required with --mode upsert" \
+        in capsys.readouterr().err

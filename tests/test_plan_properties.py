@@ -32,12 +32,14 @@ _BNLJ_ALLOWED = {"ann_cosine_topk", "ann_ivf_topk", "q_funnel_conversion",
                  # into the edge generator — bounded by construction
                  "graph_edges", "graph_degrees", "graph_khop",
                  "graph_pagerank", "graph_triangles",
-                 "graph_triangles_skewaware"}
+                 "graph_triangles_skewaware", "graph_sssp",
+                 "graph_communities"}
 
 #: kg_* queries run the pipeline (mapInPandas heavy); their plan audit is
 #: the pipeline's own (localCheckpoint lineage makes explain uninformative)
 _SKIP = {"kg_nodes", "kg_extracted_text", "kg_mentions", "kg_qualifiers",
-         "kg_resolved", "kg_triples", "kg_entities"}
+         "kg_resolved", "kg_triples", "kg_entities",
+         "kg_citation_authority", "kg_cocitation"}
 
 QUERY_KEYS = sorted(k for k in entry_mod.queries() if k not in _SKIP)
 
@@ -137,3 +139,12 @@ def test_chunk_ops_no_window(spark, name):
     plan = _plan(spark, name)
     assert "Window" not in plan, name
     assert "HashAggregate" in plan, name
+
+
+@pytest.mark.parametrize("name", ["graph_sssp", "graph_communities"])
+def test_iterative_graph_ops_no_window(spark, name):
+    """The per-round argmax/min in SSSP and label propagation must be
+    aggregates (map-side combinable), never count/rank-over-window —
+    a hot node's rows would serialize into one sort task."""
+    plan = _plan(spark, name)
+    assert "Window" not in plan, name

@@ -124,6 +124,41 @@ def html_to_text(pages: DataFrame, binary_col: str = "html") -> DataFrame:
     return pages.select("url", text.alias("extracted_text"))
 
 
+#: one <a> tag: href attribute + anchor text
+_A_TAG_RE = r'(?is)<a\s+[^>]*href="([^"]*)"[^>]*>(.*?)</a>'
+
+
+def html_links(pages: DataFrame, binary_col: str = "html") -> DataFrame:
+    """Hyperlink extraction from the raw ``html`` payload: one row per
+    ``<a>`` tag in document order — (src, href, anchor).  This is the
+    edge source of the REAL web link graph (the synthetic
+    ``graph.link_edges`` generator stands in only where a DuckDB oracle
+    needs engine-identical edges from the documents table).
+
+    JVM-side end to end: decode + two-group ``regexp_extract_all`` +
+    ``arrays_zip`` + ``explode`` — a narrow per-row transform, no Python,
+    no shuffle; pages without links (or null html) emit nothing.
+    """
+    raw = F.decode(F.col(binary_col), "UTF-8")
+    hrefs = F.regexp_extract_all(raw, F.lit(_A_TAG_RE), F.lit(1))
+    anchors = F.regexp_extract_all(raw, F.lit(_A_TAG_RE), F.lit(2))
+    pair = F.explode(F.arrays_zip(hrefs.alias("href"),
+                                  anchors.alias("anchor")))
+    return (pages.select(F.col("url").alias("src"), pair.alias("p"))
+            .select("src", F.col("p.href").alias("href"),
+                    F.col("p.anchor").alias("anchor")))
+
+
+def page_link_graph(pages: DataFrame) -> DataFrame:
+    """Directed url-level link graph from the html payload: (src, dst)
+    distinct, self-links dropped — plug-compatible with every operator
+    in ``operators/graph.py`` (they only require (src, dst) columns)."""
+    return (html_links(pages)
+            .select("src", F.col("href").alias("dst"))
+            .filter(F.col("dst") != F.col("src"))
+            .distinct())
+
+
 VIDEO_FRAME = T.StructType([
     T.StructField("url", T.StringType(), False),
     T.StructField("n_bytes", T.IntegerType(), False),

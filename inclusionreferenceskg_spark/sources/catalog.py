@@ -257,10 +257,13 @@ class Catalog:
         """
         t0 = time.perf_counter()
         prev = self.manifest(name)
-        cur = self.read(spark, name)
         path = self.table_path(name)
         old_files = [f for f in self._latest_files(name)
                      if os.path.exists(f)] or _list_data_files(path)
+        if not old_files:  # zero-row table: nothing to rewrite
+            return {"stage": name, "files_before": 0, "files_after": 0,
+                    "rows": prev["rows"], "wall_ms": 0}
+        cur = self.read(spark, name)
         # partition columns as laid out on disk (e.g. lang=en/url_bucket=3)
         cols = []
         if old_files:

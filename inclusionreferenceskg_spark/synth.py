@@ -141,17 +141,34 @@ def synthesize_pages(spark: SparkSession, n_docs: int,
             for doc_id in pdf["id"]:
                 doc_id = int(doc_id)
                 text = make_doc_text(doc_id, n_docs, seed=seed)
-                rows.append(_page_row(doc_id, text))
+                rows.append(_page_row(doc_id, text, n_docs))
             yield pd.DataFrame(rows,
                                columns=[f.name for f in PAGES_SCHEMA.fields])
 
     return driving.mapInPandas(gen, PAGES_SCHEMA)
 
 
-def _page_row(doc_id: int, text: str) -> Tuple:
+#: out-links per synthetic page's <nav> block
+HTML_FANOUT = 3
+
+
+def page_out_links(doc_id: int, n_docs: int) -> list:
+    """Deterministic hyperlink targets of page ``doc_id`` (self dropped,
+    like a real nav bar never linking the current page)."""
+    return [t for t in ((doc_id * 31 + 7 + 11 * k) % n_docs
+                        for k in range(HTML_FANOUT)) if t != doc_id]
+
+
+def _page_row(doc_id: int, text: str, n_docs: int = 0) -> Tuple:
     ts = datetime.datetime(2016, 5, 4, tzinfo=datetime.timezone.utc) \
         + datetime.timedelta(seconds=doc_id)
-    html = f"<html><body><pre>{text[:200]}</pre></body></html>".encode("utf-8")
+    nav = ""
+    if n_docs:
+        nav = "<nav>" + "".join(
+            f'<a href="{doc_url(t)}">{doc_title(t)}</a>'
+            for t in page_out_links(doc_id, n_docs)) + "</nav>"
+    html = (f"<html><body>{nav}<pre>{text[:200]}</pre></body></html>"
+            .encode("utf-8"))
     lang = "en" if doc_id % 17 else "de"
     return (doc_url(doc_id), ts, html, text, lang, doc_title(doc_id), doc_id)
 
@@ -181,7 +198,7 @@ def pages_from_documents(documents: DataFrame, seed: int = 42) -> DataFrame:
                 doc_id = int(doc_id)
                 body = make_doc_text(doc_id, n_docs, filler=text or "",
                                      seed=seed)
-                rows.append(_page_row(doc_id, body))
+                rows.append(_page_row(doc_id, body, n_docs))
             yield pd.DataFrame(rows,
                                columns=[f.name for f in PAGES_SCHEMA.fields])
 

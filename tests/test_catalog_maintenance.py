@@ -121,3 +121,12 @@ def test_compact_respects_max_records_per_file(spark, appended):
     # bin-packed: ceil(rows/10) files per partition, not one giant file
     assert stats["files_after"] == sum(-(-c // 10) for c in per_part)
     assert _rows(cat.read(spark, "t")) == want
+
+
+def test_compact_empty_table_is_noop(spark, tmp_path):
+    cat = Catalog(str(tmp_path))
+    df = _mk(spark, 0, 10).filter("n < 0")  # zero rows
+    cat.write("z", df, partition_by=["lang"], bucket_url="url")
+    stats = cat.compact(spark, "z")
+    assert stats == {"stage": "z", "files_before": 0, "files_after": 0,
+                     "rows": 0, "wall_ms": 0}

@@ -130,3 +130,27 @@ def test_compact_empty_table_is_noop(spark, tmp_path):
     stats = cat.compact(spark, "z")
     assert stats == {"stage": "z", "files_before": 0, "files_after": 0,
                      "rows": 0, "wall_ms": 0}
+
+
+def test_orphan_files_invisible_and_vacuumed(spark, appended):
+    """A writer that crashed between writing data files and committing a
+    snapshot leaves orphans on disk.  Metadata-resolved reads must never
+    see them, and expire_snapshots must vacuum them."""
+    cat = appended
+    want = _rows(cat.read(spark, "t"))
+    # fake a crashed write: a valid parquet file inside a partition dir
+    # that no snapshot references
+    orphan_dir = os.path.join(cat.table_path("t"), "lang=en",
+                              "url_bucket=0")
+    _mk(spark, 900, 910).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(cat.root), "_tmp_orphan"))
+    src = [f for f in _list_data_files(
+        os.path.join(str(cat.root), "_tmp_orphan"))][0]
+    orphan = os.path.join(orphan_dir, "orphan-crashed-writer.parquet")
+    os.rename(src, orphan)
+
+    spark.catalog.refreshByPath(cat.table_path("t"))
+    assert _rows(cat.read(spark, "t")) == want  # orphan invisible
+    stats = cat.expire_snapshots("t", keep_last=1)
+    assert not os.path.exists(orphan)  # orphan vacuumed
+    assert _rows(cat.read(spark, "t")) == want

@@ -52,3 +52,25 @@ def test_stream_to_triples_foreachbatch(spark, tmp_path_factory):
     triples = spark.read.parquet(out)
     assert triples.count() > 0
     assert set(triples.columns) >= {"url", "subject", "relation", "object"}
+
+
+def test_streaming_link_extraction_matches_batch(spark, tmp_path_factory):
+    """html_links is a stateless narrow transform, so it composes onto a
+    page stream unchanged and yields exactly the batch result."""
+    from inclusionreferenceskg_spark.operators.multimodal import html_links
+
+    root = str(tmp_path_factory.mktemp("slinks"))
+    inp = os.path.join(root, "in")
+    _write_pages(spark, inp, 0, 6)
+    _write_pages(spark, inp, 6, 12)
+
+    q = (html_links(stream_pages(spark, inp))
+         .writeStream.format("memory").queryName("l_out")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(tuple(r) for r in spark.sql(
+        "select src, href, anchor from l_out").collect())
+    want = sorted(
+        tuple(r) for r in
+        html_links(spark.read.parquet(inp)).collect())
+    assert got == want and len(got) > 0

@@ -86,6 +86,7 @@ def run_incremental(spark: SparkSession, pages: DataFrame,
     distributed hash of the new-url set, so a killed incremental run
     resumes into the same stage tables instead of starting over.
     """
+    pages = latest_per_url(pages)
     cat = Catalog(workdir)
     if not cat.is_complete("triples"):
         return run_checkpointed(spark, pages, workdir)
@@ -108,6 +109,28 @@ def run_incremental(spark: SparkSession, pages: DataFrame,
     delta_rows = delta.drop("url_bucket")
     return cat.write("triples", delta_rows, partition_by=lang_cols,
                      bucket_url="url", mode="append")
+
+
+def latest_per_url(pages: DataFrame) -> DataFrame:
+    """Collapse a crawl snapshot to ONE row per url — the latest capture
+    wins (``warc_ts``, then a full-row hash as the deterministic
+    tie-break for identical timestamps).
+
+    Crawl deliveries routinely carry several captures of the same url in
+    one snapshot; the pipeline's determinism contract (byte-identical
+    extracted text PER URL) requires a unique url key — without this,
+    duplicated page rows fan out through the per-url node ids into a
+    triple cross-product.  One map-side-combinable ``max_by``
+    aggregation keyed on url, no window, no join.
+    """
+    cols = pages.columns
+    others = [c for c in cols if c != "url"]
+    key_parts = ([F.col("warc_ts")] if "warc_ts" in cols else []) + \
+        [F.xxhash64(*[F.col(c) for c in cols]).alias("h")]
+    return (pages.groupBy("url")
+            .agg(F.max_by(F.struct(*others),
+                          F.struct(*key_parts)).alias("r"))
+            .select("url", "r.*"))
 
 
 def _page_fps(pages: DataFrame) -> DataFrame:
@@ -185,6 +208,7 @@ def run_upsert(spark: SparkSession, pages: DataFrame,
     table commits last: it is the transaction marker that makes the
     whole upsert idempotent under replay.
     """
+    pages = latest_per_url(pages)
     cat = Catalog(workdir)
     if not cat.is_complete("triples"):
         out = run_checkpointed(spark, pages, workdir)

@@ -136,3 +136,36 @@ def test_upsert_after_plain_run_self_heals(spark, tmp_path_factory):
     assert _rows(again) == _rows(want)
     assert len([d for d in os.listdir(inc_root)
                 if d.startswith("ups_")]) == n_deltas
+
+
+def test_upsert_batch_with_duplicate_url_captures(spark,
+                                                  tmp_path_factory):
+    """A recrawl snapshot carrying TWO captures of one url (crawler
+    redelivery) must collapse to the latest capture — without the
+    latest_per_url guard the duplicated page rows fan out through the
+    per-url node ids into a triple cross-product (measured 428 rows vs
+    36 for one 6-doc url before the fix)."""
+    import datetime
+
+    work = str(tmp_path_factory.mktemp("ups4"))
+    base = synth.synthesize_pages(spark, 6)
+    run_upsert(spark, base, work)
+
+    rows = [tuple(r) for r in base.collect()]
+    newer = None
+    for r in rows:
+        if r[6] == 2:
+            r2 = list(r)
+            r2[1] = r[1] + datetime.timedelta(days=1)
+            r2[3] = r[3] + ("\n\n3. The controller shall notify the "
+                            "authority subject to Article 1.\n")
+            newer = tuple(r2)
+    snap2 = spark.createDataFrame(rows + [newer], synth.PAGES_SCHEMA)
+
+    got = run_upsert(spark, snap2, work)
+    # ground truth: a full rerun where url 2 is ONLY the newer capture
+    latest = [r for r in rows if r[6] != 2] + [newer]
+    want = run_checkpointed(
+        spark, spark.createDataFrame(latest, synth.PAGES_SCHEMA),
+        str(tmp_path_factory.mktemp("full")))
+    assert _rows(got) == _rows(want)

@@ -50,6 +50,10 @@ def main(argv=None) -> int:
     p_run.add_argument("--pages", required=True)
     p_run.add_argument("--workdir", required=True)
     p_run.add_argument("--no-resume", action="store_true")
+    p_run.add_argument(
+        "--no-url-dedup", action="store_true",
+        help="skip the latest-capture-per-url collapse (one url-keyed "
+             "shuffle); only safe when the snapshot is url-unique")
 
     p_upsert = sub.add_parser(
         "upsert", help="recrawl snapshot -> incremental update of the KG "
@@ -152,8 +156,13 @@ def main(argv=None) -> int:
             .write.mode("overwrite").parquet(args.out)
         print(json.dumps({"written": args.out, "n": args.n}))
     elif args.cmd == "run":
-        from inclusionreferenceskg_spark.plans.checkpoint import _page_fps
+        from inclusionreferenceskg_spark.plans.checkpoint import (
+            _page_fps,
+            latest_per_url,
+        )
         pages = spark.read.parquet(args.pages)
+        if not args.no_url_dedup:
+            pages = latest_per_url(pages)
         triples = run_checkpointed(spark, pages, args.workdir,
                                    resume=not args.no_resume)
         cat = Catalog(args.workdir)

@@ -92,6 +92,14 @@ def main(argv=None) -> int:
     p_compact.add_argument("--stage", default="triples")
     p_compact.add_argument("--max-records-per-file", type=int, default=None)
 
+    p_rollback = sub.add_parser(
+        "rollback", help="rollback_to_snapshot: make an earlier snapshot "
+                         "current again (O(metadata) undo of a bad "
+                         "upsert; requires its files not yet expired)")
+    p_rollback.add_argument("--workdir", required=True)
+    p_rollback.add_argument("--stage", default="triples")
+    p_rollback.add_argument("--version", type=int, required=True)
+
     p_expire = sub.add_parser(
         "expire", help="expire_snapshots: keep the newest K snapshots and "
                        "vacuum data files nothing retained references")
@@ -187,6 +195,9 @@ def main(argv=None) -> int:
             "snapshots": [h["version"]
                           for h in cat.history("triples")],
         }))
+    elif args.cmd == "rollback":
+        print(json.dumps(Catalog(args.workdir).rollback(
+            spark, args.stage, args.version)))
     elif args.cmd == "compact":
         print(json.dumps(Catalog(args.workdir).compact(
             spark, args.stage,

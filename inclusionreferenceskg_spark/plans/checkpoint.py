@@ -146,7 +146,7 @@ def _cow_upsert(spark: SparkSession, cat: Catalog, dcat: Catalog,
     row of a ``changed`` url in table ``name`` with the ``fresh`` rows
     (which may also introduce new urls).
 
-    Protocol (crash-safe at every boundary):
+    Protocol (crash-safe at every boundary — nothing is ever deleted):
       1. collect the partition pairs currently holding changed-url rows —
          bounded by the recrawl delta, an explicit small collect (the CC
          driver-fast-path policy);
@@ -154,11 +154,16 @@ def _cow_upsert(spark: SparkSession, cat: Catalog, dcat: Catalog,
          STAGED table under the delta sub-catalog (skipped if already
          committed, so a rerun after a crash reuses the pre-crash
          survivors instead of reading a half-rewritten main table);
-      3. delete the stale partition directories (idempotent);
-      4. fast-append the staged table and recommit the manifest.
+      3. fast-append the staged table, SHADOWING the stale partitions'
+         old files: they stay on disk but drop out of the new snapshot's
+         file list, so every pre-upsert snapshot stays time-travelable
+         (``Catalog.rollback`` undoes a bad recrawl in O(metadata)) until
+         ``expire_snapshots`` vacuums them.
     A rerun recomputes the same changed set (the url_fps table commits
     LAST in ``run_upsert``), so every step replays into the same staged
-    table and the end state is identical.
+    table and the end state is identical; a crash between the physical
+    append and the snapshot commit leaves only orphan files, which reads
+    never see and ``expire_snapshots`` garbage-collects.
     """
     part_cols = list(partition_by) + ["url_bucket"]
     staged_name = f"{name}_staged"
@@ -178,22 +183,19 @@ def _cow_upsert(spark: SparkSession, cat: Catalog, dcat: Catalog,
             merged = fresh
         staged = dcat.write(staged_name, merged,
                             partition_by=partition_by, bucket_url="url")
-    # stale pairs from the CURRENT main table: after a crash mid-rewrite
-    # this covers exactly the directories that still hold changed-url rows
-    spark.catalog.refreshByPath(cat.table_path(name))
+    # stale pairs from the CURRENT snapshot: after a crash mid-commit
+    # this covers exactly the partitions that still hold changed-url rows
     existing_now = cat.read(spark, name)
     stale_now = (existing_now.join(changed, "url", "left_semi")
                  .select(*part_cols).distinct().collect())
-    import shutil
-    for p in stale_now:
-        sub = os.path.join(cat.table_path(name),
-                           *(f"{c}={p[c]}" for c in part_cols))
-        shutil.rmtree(sub, ignore_errors=True)
-    # Spark's global FileStatusCache may still list the deleted files
-    spark.catalog.refreshByPath(cat.table_path(name))
+    root = cat.table_path(name)
+    prefixes = [os.path.join(root, *(f"{c}={p[c]}" for c in part_cols))
+                + os.sep for p in stale_now]
+    replaced = [f for f in cat._latest_files(name)
+                if any(f.startswith(px) for px in prefixes)]
     return cat.write(name, staged.drop("url_bucket"),
                      partition_by=partition_by, bucket_url="url",
-                     mode="upsert")
+                     mode="upsert", replaced_files=replaced)
 
 
 def run_upsert(spark: SparkSession, pages: DataFrame,

@@ -70,32 +70,37 @@ class Catalog:
               partition_by: Sequence[str] = (),
               bucket_url: Optional[str] = None,
               n_buckets: int = DEFAULT_BUCKETS,
-              mode: str = "overwrite") -> DataFrame:
+              mode: str = "overwrite",
+              replaced_files: Optional[Sequence[str]] = None) -> DataFrame:
         """Write a stage table + manifest; returns the re-read DataFrame
         (cuts lineage like an Iceberg commit).  ``mode="append"`` is the
         incremental-snapshot path: the delta lands as new files under the
         same partition layout (an Iceberg fast-append) and the manifest
         is recommitted from the full table.
         ``mode="upsert"`` is the copy-on-write commit of the recrawl
-        path (``plans.checkpoint.run_upsert``): physically an append —
-        the caller has already deleted the replaced partition
-        directories — but the snapshot log resets because files were
-        removed and older snapshots would dangle."""
+        path (``plans.checkpoint.run_upsert``): physically an append,
+        with ``replaced_files`` (the old files of the rewritten
+        partitions) dropped from the new snapshot's file list but left
+        on disk — shadowed, like ``compact`` — so every pre-upsert
+        snapshot stays time-travelable (and ``rollback`` can undo a bad
+        recrawl) until ``expire_snapshots`` vacuums them."""
         t0 = time.perf_counter()
         cols = list(partition_by)
         if bucket_url:
             df = with_bucket(df, bucket_url, n_buckets)
             cols.append("url_bucket")
         path = self.table_path(name)
-        # compaction shadows replaced files in place (they stay on disk
-        # for time travel until expire_snapshots), so for non-overwrite
-        # commits the new table state is METADATA-resolved: surviving
-        # files of the previous snapshot ∪ the files this write adds —
-        # never a raw directory listing, which would double-count shadows
+        # compaction/upsert shadow replaced files in place (they stay on
+        # disk for time travel until expire_snapshots), so for
+        # non-overwrite commits the new table state is METADATA-resolved:
+        # surviving files of the previous snapshot ∪ the files this write
+        # adds — never a raw directory listing, which would double-count
+        # shadows
         prev_files = None
         if mode in ("append", "upsert"):
+            drop = {_norm(f) for f in (replaced_files or ())}
             prev_files = [f for f in self._latest_files(name)
-                          if os.path.exists(f)]
+                          if os.path.exists(f) and f not in drop]
         before = set(_list_data_files(path)) if prev_files is not None \
             else set()
         writer = df.write.mode("append" if mode == "upsert" else mode)
@@ -150,22 +155,23 @@ class Catalog:
     # ------------------------------------------------ snapshot log
     # Iceberg-style time travel: every commit records the exact data-file
     # set, so a past snapshot is re-readable as long as its files survive.
-    # Fast-appends (the incremental path) keep all prior files — full
-    # history; an overwrite physically replaces files (this fallback has
-    # no expire_snapshots grace period), so it resets the log.
+    # Fast-appends keep all prior files; upsert and compact SHADOW the
+    # files they replace (on disk, out of the new snapshot) until
+    # expire_snapshots vacuums them — full history either way; only
+    # overwrite physically deletes files, so only it resets the log.
 
     def _snapshot_dir(self, name: str) -> str:
         return os.path.join(self.root, "_lineage", f"{name}.snapshots")
 
     def _commit_snapshot(self, name: str, manifest: dict, mode: str,
                          files: Sequence[str]) -> None:
-        # append/compact keep every prior file, so history stays
-        # readable; both overwrite flavors physically delete replaced
-        # files (overwrite wipes the directory; upsert's caller removes
-        # the replaced partition dirs), so they reset the snapshot log
-        # rather than leave dangling versions
+        # append/compact/upsert keep every prior file on disk (upsert and
+        # compact merely shadow the replaced ones), so history stays
+        # readable; only overwrite physically deletes files (it wipes the
+        # directory), so only it resets the snapshot log rather than
+        # leave dangling versions
         d = self._snapshot_dir(name)
-        if mode not in ("append", "compact") and os.path.isdir(d):
+        if mode not in ("append", "compact", "upsert") and os.path.isdir(d):
             for f in os.listdir(d):
                 os.unlink(os.path.join(d, f))
         os.makedirs(d, exist_ok=True)
@@ -298,6 +304,39 @@ class Catalog:
                 "files_after": len(new_files),
                 "rows": manifest["rows"],
                 "wall_ms": manifest["wall_ms"]}
+
+    def rollback(self, spark: SparkSession, name: str,
+                 version: int) -> dict:
+        """Iceberg ``rollback_to_snapshot``: make snapshot ``version``
+        current again by committing a NEW snapshot that points at the old
+        file list — nothing is rewritten or deleted, and the rolled-back
+        states stay in history (an operator error like a bad upsert is
+        undone in O(metadata)).  Requires the target snapshot's files to
+        still exist, i.e. not yet vacuumed by ``expire_snapshots``."""
+        t0 = time.perf_counter()
+        snap = self._snapshot(name, version)
+        files = [_norm(f) for f in snap["files"]]
+        missing = [f for f in files if not os.path.exists(f)]
+        if missing:
+            raise FileNotFoundError(
+                f"rollback({name}, v{version}): {len(missing)} data "
+                f"file(s) already expired, e.g. {missing[0]}")
+        path = self.table_path(name)
+        if files:
+            out = spark.read.option("basePath", path).parquet(*files)
+            rel = os.path.relpath(files[0], path)
+            cols = [seg.split("=", 1)[0]
+                    for seg in rel.split(os.sep)[:-1] if "=" in seg]
+        else:
+            out = self.read(spark, name).limit(0)
+            cols = []
+        manifest = self._build_manifest(name, out, cols, t0)
+        with open(self._manifest_path(name), "w") as f:
+            json.dump(manifest, f, indent=1)
+        self._commit_snapshot(name, manifest, "compact", files)
+        return {"stage": name, "restored_version": version,
+                "new_version": self._snapshot_versions(name)[-1],
+                "rows": manifest["rows"]}
 
     def expire_snapshots(self, name: str, keep_last: int = 1) -> dict:
         """Iceberg ``expire_snapshots`` + orphan-file vacuum: drop all

@@ -154,3 +154,38 @@ def test_orphan_files_invisible_and_vacuumed(spark, appended):
     stats = cat.expire_snapshots("t", keep_last=1)
     assert not os.path.exists(orphan)  # orphan vacuumed
     assert _rows(cat.read(spark, "t")) == want
+
+
+def test_rollback_restores_old_snapshot(spark, appended):
+    cat = appended
+    v2 = _rows(cat.read(spark, "t", version=2))
+    latest = _rows(cat.read(spark, "t"))
+    assert v2 != latest
+
+    stats = cat.rollback(spark, "t", 2)
+    assert stats["restored_version"] == 2
+    assert stats["new_version"] == 5
+    # current read is the old state; manifest follows; history keeps all
+    assert _rows(cat.read(spark, "t")) == v2
+    assert cat.manifest("t")["rows"] == len(v2)
+    assert [h["version"] for h in cat.history("t")] == [1, 2, 3, 4, 5]
+    # the rolled-back-PAST state is itself still in history (v4)
+    assert _rows(cat.read(spark, "t", version=4)) == latest
+    # a later append builds on the restored state
+    cat.write("t", _mk(spark, 400, 410), partition_by=["lang"],
+              bucket_url="url", n_buckets=4, mode="append")
+    assert cat.read(spark, "t").count() == len(v2) + 10
+
+
+def test_rollback_to_expired_snapshot_fails_cleanly(spark, appended):
+    cat = appended
+    cat.compact(spark, "t")
+    cat.expire_snapshots("t", keep_last=1)
+    # v2 was expired: its snapshot json (and files) are gone
+    with pytest.raises(FileNotFoundError):
+        cat.rollback(spark, "t", 2)
+    # the live snapshot still rolls back onto itself harmlessly
+    want = _rows(cat.read(spark, "t"))
+    live = cat._snapshot_versions("t")[-1]
+    cat.rollback(spark, "t", live)
+    assert _rows(cat.read(spark, "t")) == want

@@ -169,3 +169,35 @@ def test_upsert_batch_with_duplicate_url_captures(spark,
         spark, spark.createDataFrame(latest, synth.PAGES_SCHEMA),
         str(tmp_path_factory.mktemp("full")))
     assert _rows(got) == _rows(want)
+
+
+def test_upsert_preserves_history_and_rolls_back(spark,
+                                                 tmp_path_factory):
+    """Copy-on-write by SHADOWING: the pre-upsert snapshot stays
+    time-travelable after the recrawl rewrite, and rollback undoes a bad
+    upsert in O(metadata) — the files are only reclaimed by
+    expire_snapshots."""
+    work = str(tmp_path_factory.mktemp("ups5"))
+    base = synth.synthesize_pages(spark, 8)
+    t1 = run_upsert(spark, base, work)
+    r1 = _rows(t1)
+    cat = Catalog(work)
+    v_pre = cat._snapshot_versions("triples")[-1]
+
+    snap2 = _mutate(spark, base, 3, 2)
+    got = run_upsert(spark, snap2, work)
+    r2 = _rows(got)
+    assert r2 != r1
+
+    # pre-upsert snapshot still readable (shadowed, not deleted)
+    assert _rows(cat.read(spark, "triples", version=v_pre)) == r1
+    # the recrawl was bad: roll it back — O(metadata), no recompute
+    stats = cat.rollback(spark, "triples", v_pre)
+    assert _rows(cat.read(spark, "triples")) == r1
+    assert cat.manifest("triples")["rows"] == len(r1)
+    # the rolled-back (bad) state is itself still in history
+    assert _rows(cat.read(spark, "triples",
+                          version=stats["new_version"] - 1)) == r2
+    # GC: only the live snapshot's files survive an aggressive expiry
+    cat.expire_snapshots("triples", keep_last=1)
+    assert _rows(cat.read(spark, "triples")) == r1

@@ -308,9 +308,22 @@ def neardup_clusters(documents: DataFrame, threshold: float = 0.5,
       converging in O(log diameter) small shuffles on the pair graph,
       with per-round lineage truncation.
     """
-    spark = documents.sparkSession
-    pairs = (ngram_jaccard_pairs(documents, threshold)
-             .select("a", "b").localCheckpoint(eager=True))
+    return pair_components(
+        ngram_jaccard_pairs(documents, threshold).select("a", "b"),
+        max_iter=max_iter, driver_cutoff=driver_cutoff)
+
+
+def pair_components(pairs: DataFrame, max_iter: int = 16,
+                    driver_cutoff: int = 200_000) -> DataFrame:
+    """Connected components over an undirected pair graph (columns
+    ``a``, ``b``; isolated nodes absent by construction):
+    ``(doc_id, canon_id, cluster_size)``, canonical = component min id.
+    The shared engine behind ``neardup_clusters`` and ``graph.wcc`` —
+    driver union-find under ``driver_cutoff`` pairs, else distributed
+    min-label propagation with pointer doubling (see the callers'
+    docstrings for the policy discussion)."""
+    spark = pairs.sparkSession
+    pairs = pairs.select("a", "b").localCheckpoint(eager=True)
 
     def sized(labels: DataFrame) -> DataFrame:
         w = Window.partitionBy("canon_id")

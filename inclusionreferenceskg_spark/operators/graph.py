@@ -278,6 +278,24 @@ def triangles_degree_oriented(edges: DataFrame) -> DataFrame:
     return closed.agg((F.count("*") / 2).cast("long").alias("n_triangles"))
 
 
+def wcc(edges: DataFrame) -> DataFrame:
+    """Weakly connected components of the directed link graph —
+    (node, component, component_size), direction ignored, component id =
+    min node id.  Labels only nodes with at least one edge (isolated
+    pages are their own trivial component and are omitted, matching the
+    pair-graph contract).  Reuses the dedup pair-components engine:
+    driver union-find while the EDGE list (not the corpus) fits under an
+    explicit cutoff, else distributed min-label propagation with pointer
+    doubling and per-round lineage truncation — O(log diameter) shuffles
+    on the edge list."""
+    from .dedup import pair_components
+    out = pair_components(
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b")))
+    return out.select(F.col("doc_id").alias("node"),
+                      F.col("canon_id").alias("component"),
+                      F.col("cluster_size").alias("component_size"))
+
+
 def label_propagation(documents: DataFrame, edges: DataFrame,
                       iters: int = 4) -> DataFrame:
     """Synchronous label-propagation community detection: (node, label).

@@ -725,6 +725,11 @@ def graph_triangles_skewaware(spark, sf_dir):
     return graph_ops.triangles_degree_oriented(_doc_edges(spark, sf_dir))
 
 
+def graph_wcc(spark, sf_dir):
+    """Weakly connected components of the link graph."""
+    return graph_ops.wcc(_doc_edges(spark, sf_dir)).orderBy("node")
+
+
 def graph_communities(spark, sf_dir):
     """Deterministic synchronous label-propagation communities."""
     docs = _t(spark, sf_dir, "documents")
@@ -919,6 +924,7 @@ QUERIES: Dict[str, Callable] = {
     "graph_triangles_skewaware": graph_triangles_skewaware,
     "graph_sssp": graph_sssp,
     "graph_communities": graph_communities,
+    "graph_wcc": graph_wcc,
     "kg_nodes": kg_nodes,
     "kg_extracted_text": kg_extracted_text,
     "kg_mentions": kg_mentions,
@@ -1798,6 +1804,19 @@ ORACLES["graph_triangles"] = f"""
 # the triangle count is orientation-invariant: the degree-oriented plan
 # (skew-safe on power-law graphs) must produce the identical number
 ORACLES["graph_triangles_skewaware"] = ORACLES["graph_triangles"]
+
+ORACLES["graph_wcc"] = f"""
+    with recursive e as ({_EDGES}),
+    ed(a, b) as (select src, dst from e union select dst, src from e),
+    reach(n, r) as (
+      select a, a from ed
+      union
+      select ed.b, reach.r from reach join ed on ed.a = reach.n),
+    canon as (select n as node, min(r) as component from reach group by n)
+    select node, component,
+           cast(count(*) over (partition by component) as bigint)
+             as component_size
+    from canon order by node"""
 
 ORACLES["graph_communities"] = f"""
     with e as ({_EDGES}),{graph_ops.label_propagation_sql(iters=4)}

@@ -166,3 +166,34 @@ def test_label_propagation_matches_simulator(spark, edges):
     got = {r["node"]: r["label"]
            for r in g.label_propagation(docs, e, iters=3).collect()}
     assert got == _lpa_sim(edges, N_NODES, 3)
+
+
+def _wcc_sim(edges):
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    nodes = {x for e in edges for x in e}
+    for s, d in edges:
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            lo, hi = sorted((rs, rd))
+            parent[hi] = lo
+    comp = {n: find(n) for n in nodes}
+    size = defaultdict(int)
+    for c in comp.values():
+        size[c] += 1
+    return {n: (c, size[c]) for n, c in comp.items()}
+
+
+@settings(max_examples=12, deadline=None)
+@given(edge_lists)
+def test_wcc_matches_union_find(spark, edges):
+    _, e = _dfs(spark, edges)
+    got = {r["node"]: (r["component"], r["component_size"])
+           for r in g.wcc(e).collect()}
+    assert got == _wcc_sim(edges)

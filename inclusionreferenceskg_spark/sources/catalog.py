@@ -342,9 +342,14 @@ class Catalog:
         """Iceberg ``expire_snapshots`` + orphan-file vacuum: drop all
         but the newest ``keep_last`` snapshots and physically delete
         every data file no retained snapshot references.  This is the
-        garbage-collection half of ``compact`` (which only shadows) and
-        bounds the table's on-disk footprint under continuous
-        fast-append + rewrite churn."""
+        garbage-collection half of ``compact``/``upsert`` (which only
+        shadow) and bounds the table's on-disk footprint under
+        continuous fast-append + rewrite churn.
+
+        Concurrency caveat (same as Iceberg's): a reader holding a
+        DataFrame over a snapshot being expired fails at its next action
+        once the files are unlinked — keep the retention window
+        (``keep_last``) longer than the longest-running query."""
         versions = self._snapshot_versions(name)
         retained = versions[-keep_last:] if keep_last > 0 else []
         live = set()

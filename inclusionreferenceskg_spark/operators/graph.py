@@ -309,25 +309,29 @@ def label_propagation(documents: DataFrame, edges: DataFrame,
     round count is the honest, reproducible variant).
 
     Scale shape: per round one join keyed on node id + two map-side-
-    combinable aggs — the argmax is ``max_by(label, (count, -label))``,
+    combinable aggs — the argmax is ``min_by(label, (-count, label))``,
     an AGGREGATE, not a count-over-window, so a celebrity node's votes
     combine map-side instead of serializing one sort task (the repo's
-    dedup.py cap pattern).  Label tables persist per round; the
-    symmetrized edge table persists once and is reused every round.
+    dedup.py cap pattern); ``min_by`` keeps the tie-break type-generic,
+    so node ids may be bigints (link graph) or urls (citation graph).
+    Label tables persist per round; the symmetrized edge table persists
+    once and is reused every round.
     """
     sym = (edges.select("src", "dst")
            .unionByName(edges.select(F.col("dst").alias("src"),
                                      F.col("src").alias("dst")))
            .distinct().persist())
+    id_col = F.col("doc_id")
+    if dict(documents.dtypes)["doc_id"] == "bigint":
+        id_col = id_col.cast("long")  # keep the oracle's bigint schema
     labels = documents.select(
-        F.col("doc_id").alias("node"),
-        F.col("doc_id").cast("long").alias("label")).persist()
+        F.col("doc_id").alias("node"), id_col.alias("label")).persist()
     for _ in range(iters):
         votes = (sym.join(labels, sym["dst"] == labels["node"])
                  .groupBy(F.col("src").alias("n"), "label")
                  .agg(F.count("*").alias("c")))
         best = votes.groupBy("n").agg(
-            F.expr("max_by(label, struct(c, -label))").alias("new_label"))
+            F.expr("min_by(label, struct(-c, label))").alias("new_label"))
         labels = (labels.join(best, labels["node"] == best["n"], "left")
                   .select("node",
                           F.coalesce("new_label", "label").alias("label"))

@@ -842,6 +842,18 @@ def kg_citation_authority(spark, sf_dir):
     return pr.orderBy(F.desc("rank"), "node")
 
 
+def kg_communities(spark, sf_dir):
+    """Label-propagation communities over the resolved citation graph —
+    documents that cite (or are cited by) the same cluster of documents
+    settle on one label.  graph.label_propagation reused verbatim with
+    url node ids (min_by tie-break is type-generic); rows-only like the
+    other kg_* entries, simulator-verified in tests/test_kg_citations.py."""
+    nodes = _kg_nodes(spark, sf_dir)
+    docs = nodes.select(F.col("url").alias("doc_id")).distinct()
+    return graph_ops.label_propagation(
+        docs, _kg_citation_edges(spark, sf_dir), iters=4).orderBy("node")
+
+
 def kg_cocitation(spark, sf_dir):
     """Co-citation strength between cited documents: pairs (a, b) of
     documents cited BY the same citing document, with the number of
@@ -934,6 +946,7 @@ QUERIES: Dict[str, Callable] = {
     "kg_entities": kg_entities,
     "kg_citation_authority": kg_citation_authority,
     "kg_cocitation": kg_cocitation,
+    "kg_communities": kg_communities,
 }
 
 

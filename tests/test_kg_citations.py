@@ -68,3 +68,33 @@ def test_cocitation_matches_enumeration(spark):
            for r in Q.kg_cocitation(spark, SF).collect()}
     assert got == {k: len(v) for k, v in want.items()}
     assert all(a < b for a, b in got)
+
+
+def test_kg_communities_match_lpa_simulator(spark):
+    from collections import defaultdict as dd
+    edges = [(r["src"], r["dst"])
+             for r in Q._kg_citation_edges(spark, SF).collect()]
+    urls = sorted({r["url"] for r in
+                   Q._kg_nodes(spark, SF).select("url")
+                   .distinct().collect()})
+    sym = dd(set)
+    for s, d in edges:
+        sym[s].add(d)
+        sym[d].add(s)
+    labels = {u: u for u in urls}
+    for _ in range(4):
+        new = {}
+        for v in urls:
+            if not sym[v]:
+                new[v] = labels[v]
+                continue
+            counts = dd(int)
+            for u in sym[v]:
+                counts[labels[u]] += 1
+            new[v] = min(counts, key=lambda l: (-counts[l], l))
+        labels = new
+    got = {r["node"]: r["label"]
+           for r in Q.kg_communities(spark, SF).collect()}
+    assert got == labels
+    # non-trivial: strictly fewer communities than documents
+    assert 1 < len(set(got.values())) < len(urls)

@@ -39,7 +39,7 @@ _BNLJ_ALLOWED = {"ann_cosine_topk", "ann_ivf_topk", "q_funnel_conversion",
 #: the pipeline's own (localCheckpoint lineage makes explain uninformative)
 _SKIP = {"kg_nodes", "kg_extracted_text", "kg_mentions", "kg_qualifiers",
          "kg_resolved", "kg_triples", "kg_entities",
-         "kg_citation_authority", "kg_cocitation"}
+         "kg_citation_authority", "kg_cocitation", "kg_communities"}
 
 QUERY_KEYS = sorted(k for k in entry_mod.queries() if k not in _SKIP)
 

@@ -16,6 +16,8 @@ Usage (package shipped via --py-files; build the zip with
         [--stage nodes]   # per-stage/per-partition lineage (no Spark)
     spark-submit ... compact --workdir /data/kg --stage triples \\
         [--max-records-per-file N]   # bin-pack fast-append small files
+    spark-submit ... rollback --workdir /data/kg --stage triples \\
+        --version 3   # undo a bad recrawl in O(metadata)
     python -m inclusionreferenceskg_spark.cli expire --workdir /data/kg \\
         --stage triples --keep-last 2  # snapshot GC + vacuum (no Spark)
 

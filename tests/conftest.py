@@ -7,7 +7,10 @@ import pytest
 def spark():
     from inclusionreferenceskg_spark.session import get_spark
 
-    os.environ.setdefault("SPARK_DRIVER_MEMORY", "4g")
+    # 6g: ~350 tests share this session and many persist()/cache();
+    # under 4g + co-tenant load the storage pressure produced a rare
+    # one-off py4j failure in full-suite runs (graph_sssp oracle row)
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "6g")
     session = get_spark("irkg-tests", master="local[4]", shuffle_partitions=8)
     yield session
     session.stop()

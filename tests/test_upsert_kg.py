@@ -201,3 +201,59 @@ def test_upsert_preserves_history_and_rolls_back(spark,
     # GC: only the live snapshot's files survive an aggressive expiry
     cat.expire_snapshots("triples", keep_last=1)
     assert _rows(cat.read(spark, "triples")) == r1
+
+
+def _injected_upsert_crash(spark, tmp_path_factory, monkeypatch,
+                           crash_table):
+    """Arm a one-shot crash on the main-table commit of ``crash_table``
+    during the recrawl, then assert the rerun heals to the full-rerun
+    ground truth."""
+    import pytest as _pytest
+
+    import inclusionreferenceskg_spark.plans.checkpoint as cp
+
+    work = str(tmp_path_factory.mktemp(f"crash_{crash_table}"))
+    base = synth.synthesize_pages(spark, 8)
+    run_upsert(spark, base, work)
+    snap2 = _mutate(spark, base, 2, 1)
+
+    real_write = cp.Catalog.write
+    armed = {"on": True}
+
+    def boom(self, name, df, *a, **kw):
+        if (armed["on"] and name == crash_table
+                and kw.get("mode") == "upsert"):
+            armed["on"] = False
+            raise RuntimeError("injected crash")
+        return real_write(self, name, df, *a, **kw)
+
+    monkeypatch.setattr(cp.Catalog, "write", boom)
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        run_upsert(spark, snap2, work)
+    monkeypatch.setattr(cp.Catalog, "write", real_write)
+
+    # the fingerprint table commits LAST, so the rerun recomputes the
+    # same changed set, reuses the committed staged table, and completes
+    got = run_upsert(spark, snap2, work)
+    want = run_checkpointed(spark, snap2,
+                            str(tmp_path_factory.mktemp("full")))
+    assert _rows(got) == _rows(want)
+    # and a further rerun is a clean no-op
+    assert _rows(run_upsert(spark, snap2, work)) == _rows(want)
+
+
+def test_upsert_crash_before_triples_commit(spark, tmp_path_factory,
+                                            monkeypatch):
+    """Crash window (a): staged table committed, main triples commit
+    died — rerun replays into the same staged table."""
+    _injected_upsert_crash(spark, tmp_path_factory, monkeypatch,
+                           "triples")
+
+
+def test_upsert_crash_before_fps_commit(spark, tmp_path_factory,
+                                        monkeypatch):
+    """Crash window (b): triples committed, url_fps commit died — the
+    rerun re-detects the same urls as changed (fps is the transaction
+    marker) and replays idempotently."""
+    _injected_upsert_crash(spark, tmp_path_factory, monkeypatch,
+                           "url_fps")

@@ -72,3 +72,31 @@ def test_stream_upsert_crawl_refresh(spark, tmp_path_factory):
     assert _rows(Catalog(work).read(spark, "triples")) == _rows(want)
     assert len([d for d in os.listdir(inc_root)
                 if d.startswith("ups_")]) == 1
+
+
+def test_maintenance_interleaves_with_stream(spark, tmp_path_factory):
+    """compact + expire between streaming micro-batches must not disturb
+    the next batch's append: the writer commits against the latest
+    snapshot (metadata-resolved), not the directory."""
+    root = str(tmp_path_factory.mktemp("smaint"))
+    inp = os.path.join(root, "in")
+    work = os.path.join(root, "kg")
+    ckpt = os.path.join(root, "ckpt")
+    base = synth.synthesize_pages(spark, 12)
+
+    base.filter(F.col("doc_rank") < 6).write.mode("append").parquet(inp)
+    q = run_stream_upsert(spark, inp, work, ckpt)
+    q.awaitTermination(600)
+
+    cat = Catalog(work)
+    cat.compact(spark, "triples")
+    cat.expire_snapshots("triples", keep_last=1)
+
+    base.filter(F.col("doc_rank") >= 6).write.mode("append").parquet(inp)
+    q = run_stream_upsert(spark, inp, work, ckpt)
+    q.awaitTermination(600)
+
+    got = cat.read(spark, "triples")
+    want = run_checkpointed(spark, base,
+                            str(tmp_path_factory.mktemp("full")))
+    assert _rows(got) == _rows(want)

@@ -749,6 +749,33 @@ def graph_sssp(spark, sf_dir):
         seeds, e, max_hops=graph_ops.SSSP_MAX_HOPS).orderBy("node")
 
 
+def _links_graph(spark, sf_dir):
+    """(nodes, edges) of the REAL href graph: html payloads of the pages
+    table → ``multimodal.html_links`` regexp extraction → distinct
+    (src, dst) url edges.  Unlike the synthetic-hash ``graph_*`` family,
+    this exercises the html→link→graph composition end to end; the DuckDB
+    oracle recomputes the same edges arithmetically from the nav-block
+    generator (synth.page_out_links), so any drift in the extraction
+    path (regex, decode, self-link drop, dedup) goes red."""
+    pages = _kg_pages(spark, sf_dir)
+    nodes = pages.select(F.col("url").alias("doc_id"))
+    return nodes, multimodal.page_link_graph(pages)
+
+
+def graph_links_degrees(spark, sf_dir):
+    """Per-url in/out degree over the href graph extracted from html."""
+    nodes, edges = _links_graph(spark, sf_dir)
+    return graph_ops.degrees(nodes, edges).orderBy("node")
+
+
+def graph_links_pagerank(spark, sf_dir):
+    """Integer-scaled PageRank over the extracted href graph — the
+    citation-authority shape on real hyperlink edges (url node ids;
+    graph_ops.pagerank is id-type generic)."""
+    nodes, edges = _links_graph(spark, sf_dir)
+    return graph_ops.pagerank(nodes, edges, iters=5).orderBy("node")
+
+
 # ------------------------------------------------------------- KG pipeline
 
 def kg_nodes(spark, sf_dir):
@@ -872,7 +899,33 @@ def kg_cocitation(spark, sf_dir):
 
 # ------------------------------------------------------------------ catalog
 
+# Catalog order matters: the driver's correctness gate runs the FIRST 50
+# entries only.  Entries that have never had a driver-green row (the
+# graph_*, ann_ivf, emb_neardup, multimodal_* tail in rounds 1-3) plus any
+# entry red in the latest round lead the dict; entries already driver-green
+# in round 3 follow; rows-only kg_* entries (pytest-gated, no oracle value
+# hash) sit last.
 QUERIES: Dict[str, Callable] = {
+    # -- never driver-checked before round 4 (verdict r3 task #2) --------
+    "graph_edges": graph_edges,
+    "graph_degrees": graph_degrees,
+    "graph_khop": graph_khop,
+    "graph_pagerank": graph_pagerank,
+    "graph_triangles": graph_triangles,
+    "graph_triangles_skewaware": graph_triangles_skewaware,
+    "graph_sssp": graph_sssp,
+    "graph_communities": graph_communities,
+    "graph_wcc": graph_wcc,
+    "graph_links_degrees": graph_links_degrees,
+    "graph_links_pagerank": graph_links_pagerank,
+    "ann_ivf_topk": ann_ivf_topk,
+    "emb_neardup_pairs": emb_neardup_pairs,
+    "multimodal_image_meta": multimodal_image_meta,
+    "multimodal_frame_sample": multimodal_frame_sample,
+    "multimodal_audio_chunks": multimodal_audio_chunks,
+    # -- red in round 3 (oracle typing artifact, now cast) ---------------
+    "docs_pack_shards": docs_pack_shards,
+    # -- driver-green in round 3 ------------------------------------------
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
     "q_broadcast_part_join": q_broadcast_part_join,
@@ -906,7 +959,6 @@ QUERIES: Dict[str, Callable] = {
     "docs_gopher_quality": docs_gopher_quality,
     "docs_decontaminate": docs_decontaminate,
     "docs_stratified_sample": docs_stratified_sample,
-    "docs_pack_shards": docs_pack_shards,
     "docs_inverted_index": docs_inverted_index,
     "dedup_exact": dedup_exact,
     "dedup_keep_best": dedup_keep_best,
@@ -923,20 +975,7 @@ QUERIES: Dict[str, Callable] = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_lsh_topk_sized": ann_lsh_topk_sized,
-    "ann_ivf_topk": ann_ivf_topk,
-    "emb_neardup_pairs": emb_neardup_pairs,
-    "multimodal_image_meta": multimodal_image_meta,
-    "multimodal_frame_sample": multimodal_frame_sample,
-    "multimodal_audio_chunks": multimodal_audio_chunks,
-    "graph_edges": graph_edges,
-    "graph_degrees": graph_degrees,
-    "graph_khop": graph_khop,
-    "graph_pagerank": graph_pagerank,
-    "graph_triangles": graph_triangles,
-    "graph_triangles_skewaware": graph_triangles_skewaware,
-    "graph_sssp": graph_sssp,
-    "graph_communities": graph_communities,
-    "graph_wcc": graph_wcc,
+    # -- rows-only (no oracle value hash; pytest simulator/invariant-gated)
     "kg_nodes": kg_nodes,
     "kg_extracted_text": kg_extracted_text,
     "kg_mentions": kg_mentions,
@@ -1772,38 +1811,86 @@ ORACLES["graph_khop"] = f"""
     select node, min(dist) as dist from r group by node order by node"""
 
 
-def _pagerank_sql(iters: int = 5) -> str:
+def _pagerank_sql(iters: int = 5, edges: str = None,
+                  nodes: str = "select doc_id as node from documents"
+                  ) -> str:
     """DuckDB twin of graph.pagerank: chained CTEs, one per iteration,
-    bigint arithmetic identical to the Spark plan."""
+    bigint arithmetic identical to the Spark plan.  ``edges`` yields
+    (src, dst), ``nodes`` yields (node) — id-type generic like the Spark
+    operator, so the same twin serves the synthetic-hash graph and the
+    href graph."""
     scale, num, den = (graph_ops.PR_SCALE, graph_ops.PR_DAMP_NUM,
                        graph_ops.PR_DAMP_DEN)
     parts = [f"""
-    with e0 as ({_EDGES}),
+    with e0 as ({edges if edges is not None else _EDGES}),
     deg as (select src, count(*) as out_deg from e0 group by src),
     ed as (select e0.src, e0.dst, deg.out_deg
            from e0 join deg on deg.src = e0.src),
-    n as (select count(*) as n_docs from documents),
-    r0 as (select d.doc_id as node, ({scale} // n.n_docs) as rank
-           from documents d cross join n)"""]
+    nd as ({nodes}),
+    n as (select count(*) as n_docs from nd),
+    r0 as (select d.node, ({scale} // n.n_docs) as rank
+           from nd d cross join n)"""]
     for i in range(1, iters + 1):
         parts.append(f""",
     r{i} as (
-      select d.doc_id as node,
+      select d.node,
              (({scale} * {den - num}) // ({den} * n.n_docs))
              + coalesce(c.contrib, 0) as rank
-      from documents d cross join n
+      from nd d cross join n
       left join (
         select ed.dst,
                sum((r{i - 1}.rank * {num}) // ({den} * ed.out_deg))
                  as contrib
         from r{i - 1} join ed on ed.src = r{i - 1}.node
-        group by ed.dst) c on c.dst = d.doc_id)""")
+        group by ed.dst) c on c.dst = d.node)""")
     parts.append(f"""
     select node, rank from r{iters} order by node""")
     return "".join(parts)
 
 
 ORACLES["graph_pagerank"] = _pagerank_sql()
+
+
+def _links_oracle_ctes() -> tuple:
+    """DuckDB twin of the href graph the Spark side EXTRACTS from html:
+    the nav-block generator (synth.page_out_links / synth._page_row)
+    emits links to (doc_id*31 + 7 + 11*k) % n for k < HTML_FANOUT, self
+    dropped, urls doc_url(t) — recomputed here arithmetically so the
+    oracle is independent of the html parsing under test.  Limit matches
+    _kg_pages (import-time _kg_doc_limit, the driver's default)."""
+    lim = _kg_doc_limit()
+    ks = ", ".join(str(k) for k in range(synth.HTML_FANOUT))
+    url = "'https://synth.example/reg/' || cast({x} as varchar)"
+    docs = f"(select doc_id from documents where doc_id < {lim})"
+    n = f"(select count(*) as n from documents where doc_id < {lim})"
+    tgt = "(d.doc_id * 31 + 7 + 11 * k.k) % lim.n"
+    edges = (f"select distinct {url.format(x='d.doc_id')} as src, "
+             f"{url.format(x=tgt)} as dst "
+             f"from {docs} d cross join {n} lim "
+             f"cross join (select unnest([{ks}]) as k) k "
+             f"where {tgt} != d.doc_id")
+    nodes = (f"select {url.format(x='doc_id')} as node "
+             f"from documents where doc_id < {lim}")
+    return edges, nodes
+
+
+_LINK_EDGES, _LINK_NODES = _links_oracle_ctes()
+
+ORACLES["graph_links_degrees"] = f"""
+    with e as ({_LINK_EDGES}),
+    nd as ({_LINK_NODES}),
+    od as (select src as node, count(*) as out_deg from e group by src),
+    idg as (select dst as node, count(*) as in_deg from e group by dst)
+    select nd.node as node,
+           coalesce(od.out_deg, 0) as out_deg,
+           coalesce(idg.in_deg, 0) as in_deg
+    from nd
+    left join od on od.node = nd.node
+    left join idg on idg.node = nd.node
+    order by nd.node"""
+
+ORACLES["graph_links_pagerank"] = _pagerank_sql(
+    edges=_LINK_EDGES, nodes=_LINK_NODES)
 
 ORACLES["graph_triangles"] = f"""
     with e as ({_EDGES}),
@@ -1852,8 +1939,9 @@ ORACLES["graph_sssp"] = f"""
 
 ORACLES["docs_pack_shards"] = f"""
     select doc_id, source, n_tokens,
-           coalesce(sum(n_tokens) over (partition by source order by doc_id
-             rows between unbounded preceding and 1 preceding), 0) // 512
+           cast(coalesce(sum(n_tokens) over (partition by source
+             order by doc_id rows between unbounded preceding and
+             1 preceding), 0) // 512 as bigint)
              as shard_id
     from (select doc_id, source,
                  len(regexp_extract_all(text, '{_WORD}')) as n_tokens

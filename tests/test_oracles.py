@@ -25,7 +25,15 @@ def _canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return f"{v:.6g}"
+        # Keep a float marker on integral floats: the driver's hash
+        # distinguishes bigint 0 from float64 0.0 (that typing skew is
+        # exactly how docs_pack_shards went red in round 3 while %.6g
+        # masked it locally).  A DuckDB HUGEINT surfacing as float must
+        # NOT collapse into the same token as a Spark bigint.
+        s = f"{v:.6g}"
+        if "." not in s and "e" not in s and "n" not in s:
+            s += ".0"
+        return s
     if isinstance(v, bool):
         return str(int(v))
     return str(v)

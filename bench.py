@@ -72,10 +72,26 @@ BENCH_QUERIES = [
 ]
 
 
+#: 1-min loadavg above which a record is stamped load_compromised: the
+#: round-3 driver record read 1.7x slow purely from co-tenant load and
+#: nothing in the JSON said so.  2.0 on a 32-core box = ~6% of cores
+#: already busy before we start — enough to skew min-of-2 wall-clocks.
+LOAD_COMPROMISED_AT = float(os.environ.get("SPARK_GRAFT_LOAD_BAR", "2.0"))
+
+
+def _load1() -> float:
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except OSError:
+        return -1.0
+
+
 def main() -> None:
     from inclusionreferenceskg_spark import queries as catalog
     from inclusionreferenceskg_spark.session import get_spark
 
+    load_before = _load1()
     spark = get_spark("irkg-bench", master=f"local[{CPUS}]",
                       shuffle_partitions=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
@@ -144,6 +160,10 @@ def main() -> None:
         # only comparable to baselines produced under the same protocol
         "kg_protocol": {"trials": max(trials, 1), "warmup": 1,
                         "aggregation": "min", "n_docs": n_docs},
+        # co-tenant-load stamp: a depressed record must be self-describing
+        "load_before": load_before,
+        "load_after": _load1(),
+        "load_compromised": load_before > LOAD_COMPROMISED_AT,
     }
     print(json.dumps(out))
     spark.stop()

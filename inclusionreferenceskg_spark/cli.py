@@ -97,10 +97,20 @@ def main(argv=None) -> int:
     p_rollback = sub.add_parser(
         "rollback", help="rollback_to_snapshot: make an earlier snapshot "
                          "current again (O(metadata) undo of a bad "
-                         "upsert; requires its files not yet expired)")
+                         "upsert; requires its files not yet expired). "
+                         "Rolling back 'triples' also rolls back the "
+                         "paired url_fps snapshot (same version — the "
+                         "two commit in lockstep), otherwise a later "
+                         "byte-identical recrawl would be skipped by the "
+                         "fingerprint probe and the KG would silently "
+                         "stay on the rolled-back state; --keep-fps "
+                         "opts out.")
     p_rollback.add_argument("--workdir", required=True)
     p_rollback.add_argument("--stage", default="triples")
     p_rollback.add_argument("--version", type=int, required=True)
+    p_rollback.add_argument("--keep-fps", action="store_true",
+                            help="do NOT roll back url_fps alongside "
+                                 "triples")
 
     p_expire = sub.add_parser(
         "expire", help="expire_snapshots: keep the newest K snapshots and "
@@ -198,8 +208,18 @@ def main(argv=None) -> int:
                           for h in cat.history("triples")],
         }))
     elif args.cmd == "rollback":
-        print(json.dumps(Catalog(args.workdir).rollback(
-            spark, args.stage, args.version)))
+        cat = Catalog(args.workdir)
+        res = cat.rollback(spark, args.stage, args.version)
+        if args.stage == "triples" and not args.keep_fps:
+            try:
+                res["url_fps"] = cat.rollback(spark, "url_fps",
+                                              args.version)
+            except (FileNotFoundError, OSError) as exc:
+                # url_fps has no such snapshot (e.g. table bootstrapped
+                # without fingerprints) — report instead of failing the
+                # triples rollback that already committed
+                res["url_fps"] = {"skipped": str(exc)}
+        print(json.dumps(res))
     elif args.cmd == "compact":
         print(json.dumps(Catalog(args.workdir).compact(
             spark, args.stage,

@@ -139,6 +139,32 @@ def _page_fps(pages: DataFrame) -> DataFrame:
         "url", F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("fp"))
 
 
+#: Spark writes null partition values as this sentinel directory name
+#: (ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+#: characters Spark escapes in partition directory names
+#: (ExternalCatalogUtils.charToEscape, cloned from Hive FileUtils):
+#: C0 controls, DEL, and "#%'*/:=?\{[]^
+_ESCAPED = ({chr(i) for i in range(0x20)} | {chr(0x7F)}
+            | set('"#%\'*/:=?\\{[]^'))
+
+
+def _part_value(v) -> str:
+    """Render one partition value exactly as Spark encodes it on disk —
+    shadow-prefix construction must reproduce the real directory name or
+    a changed url in (e.g.) a null-lang partition would not have its old
+    files shadowed, leaving duplicate old+new rows in the new snapshot."""
+    if v is None:
+        return _HIVE_NULL
+    if isinstance(v, bool):
+        s = "true" if v else "false"
+    else:
+        s = str(v)
+    return "".join(f"%{ord(ch):02X}" if ch in _ESCAPED else ch
+                   for ch in s)
+
+
 def _cow_upsert(spark: SparkSession, cat: Catalog, dcat: Catalog,
                 name: str, changed: DataFrame, fresh: DataFrame,
                 partition_by=()) -> DataFrame:
@@ -174,8 +200,20 @@ def _cow_upsert(spark: SparkSession, cat: Catalog, dcat: Catalog,
         stale = (existing.join(changed, "url", "left_semi")
                  .select(*part_cols).distinct().collect())
         if stale:
-            pairs = F.broadcast(spark.createDataFrame(stale))
-            keep = (existing.join(pairs, part_cols, "left_semi")
+            # explicit schema: inference would fail when a partition
+            # value is null in every stale pair (e.g. only the null-lang
+            # partition changed)
+            pairs = F.broadcast(spark.createDataFrame(
+                stale, existing.select(*part_cols).schema))
+            # null-safe semi-join: a null partition value (Spark writes
+            # it as __HIVE_DEFAULT_PARTITION__) must still match its own
+            # stale pair, or the null partition's surviving rows would
+            # silently drop out of the rewrite
+            cond = None
+            for c in part_cols:
+                e = existing[c].eqNullSafe(pairs[c])
+                cond = e if cond is None else cond & e
+            keep = (existing.join(pairs, cond, "left_semi")
                     .join(changed, "url", "left_anti")
                     .drop("url_bucket"))
             merged = keep.unionByName(fresh)
@@ -186,11 +224,19 @@ def _cow_upsert(spark: SparkSession, cat: Catalog, dcat: Catalog,
     # stale pairs from the CURRENT snapshot: after a crash mid-commit
     # this covers exactly the partitions that still hold changed-url rows
     existing_now = cat.read(spark, name)
+    # a staged table whose partition values are ALL null reads back with
+    # a VOID partition column (Spark infers the type from the directory
+    # values) — re-align with the main table's schema before the commit
+    want = {f.name: f.dataType for f in existing_now.schema.fields}
+    staged = staged.select(*[
+        F.col(c).cast(want[c]).alias(c) if c in want else F.col(c)
+        for c in staged.columns])
     stale_now = (existing_now.join(changed, "url", "left_semi")
                  .select(*part_cols).distinct().collect())
     root = cat.table_path(name)
-    prefixes = [os.path.join(root, *(f"{c}={p[c]}" for c in part_cols))
-                + os.sep for p in stale_now]
+    prefixes = [os.path.join(
+        root, *(f"{c}={_part_value(p[c])}" for c in part_cols))
+        + os.sep for p in stale_now]
     replaced = [f for f in cat._latest_files(name)
                 if any(f.startswith(px) for px in prefixes)]
     return cat.write(name, staged.drop("url_bucket"),
@@ -232,6 +278,7 @@ def run_upsert(spark: SparkSession, pages: DataFrame,
         F.count("*").alias("n"),
         F.expr("bit_xor(xxhash64(url))").alias("h")).first()
     if probe["n"] == 0:
+        changed.unpersist()
         return cat.read(spark, "triples")
     delta_dir = os.path.join(
         workdir, "increments", f"ups_{probe['h'] & 0xFFFFFFFFFFFF:012x}")
@@ -247,4 +294,8 @@ def run_upsert(spark: SparkSession, pages: DataFrame,
         _cow_upsert(spark, cat, dcat, "url_fps", changed, fresh_fps)
     else:
         cat.write("url_fps", fresh_fps, bucket_url="url")
+    # both table commits are done (writes are actions); free the delta
+    # url cache so per-micro-batch upserts (run_stream_upsert) don't
+    # accumulate one CacheManager entry per batch over a long stream
+    changed.unpersist()
     return out

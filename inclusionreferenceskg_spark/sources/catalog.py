@@ -16,12 +16,43 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 DEFAULT_BUCKETS = 16
+
+#: snapshot log entries are exactly v<N>.json — anything else in the
+#: directory (editor temp, in-flight .tmp from _write_json, .DS_Store)
+#: is ignored rather than crashing every later commit/read
+_SNAP_RE = re.compile(r"^v(\d+)\.json$")
+
+
+def _snapshot_version_files(d: str) -> list:
+    """(version, filename) pairs of the well-formed snapshot files."""
+    out = []
+    for fn in os.listdir(d):
+        m = _SNAP_RE.match(fn)
+        if m:
+            out.append((int(m.group(1)), fn))
+    return sorted(out)
+
+
+def _write_json(path: str, obj: dict) -> None:
+    """Atomic metadata commit: dump to a temp file in the same directory
+    and rename into place (atomic on POSIX), mirroring Iceberg's atomic
+    metadata swap — a crash mid-dump can no longer leave a truncated
+    manifest/snapshot that makes the table unreadable until manual
+    repair.  fsync before the rename so the rename never publishes a
+    file whose bytes are still in flight."""
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
 
 
 def _norm(path: str) -> str:
@@ -123,8 +154,7 @@ class Catalog:
             # produce no rows hits this)
             out = spark.createDataFrame([], df.schema)
         manifest = self._build_manifest(name, out, cols, t0)
-        with open(self._manifest_path(name), "w") as f:
-            json.dump(manifest, f, indent=1)
+        _write_json(self._manifest_path(name), manifest)
         self._commit_snapshot(name, manifest, mode, cur_files)
         return out
 
@@ -175,7 +205,7 @@ class Catalog:
             for f in os.listdir(d):
                 os.unlink(os.path.join(d, f))
         os.makedirs(d, exist_ok=True)
-        versions = [int(fn[1:-5]) for fn in os.listdir(d)]
+        versions = [v for v, _ in _snapshot_version_files(d)]
         version = (max(versions) + 1) if versions else 1
         snap = {
             "version": version,
@@ -183,14 +213,13 @@ class Catalog:
             "checksum": manifest["checksum"],
             "files": sorted(_norm(f) for f in files),
         }
-        with open(os.path.join(d, f"v{version}.json"), "w") as f:
-            json.dump(snap, f, indent=1)
+        _write_json(os.path.join(d, f"v{version}.json"), snap)
 
     def _snapshot_versions(self, name: str) -> list:
         d = self._snapshot_dir(name)
         if not os.path.isdir(d):
             return []
-        return sorted(int(fn[1:-5]) for fn in os.listdir(d))
+        return [v for v, _ in _snapshot_version_files(d)]
 
     def _snapshot(self, name: str, version: int) -> dict:
         with open(os.path.join(self._snapshot_dir(name),
@@ -226,9 +255,10 @@ class Catalog:
         list, not a directory listing — after ``compact()`` the replaced
         small files are still on disk (shadowed, awaiting
         ``expire_snapshots``) and must not be double-read.  Files the
-        latest snapshot lists but which are gone from disk (the window
-        between ``_cow_upsert``'s partition-dir delete and its recommit)
-        are skipped, matching the old directory-listing semantics.
+        latest snapshot lists but which are gone from disk (e.g. manual
+        cleanup under the table dir; the upsert path itself never
+        deletes, it only shadows) are skipped, matching the old
+        directory-listing semantics.
         """
         if version is None:
             versions = self._snapshot_versions(name)
@@ -297,8 +327,7 @@ class Catalog:
                 f"compact({name}): rewrite changed the table "
                 f"(rows {prev['rows']}→{manifest['rows']}, checksum "
                 f"{prev['checksum']}→{manifest['checksum']})")
-        with open(self._manifest_path(name), "w") as f:
-            json.dump(manifest, f, indent=1)
+        _write_json(self._manifest_path(name), manifest)
         self._commit_snapshot(name, manifest, "compact", new_files)
         return {"stage": name, "files_before": len(old_files),
                 "files_after": len(new_files),
@@ -331,8 +360,7 @@ class Catalog:
             out = self.read(spark, name).limit(0)
             cols = []
         manifest = self._build_manifest(name, out, cols, t0)
-        with open(self._manifest_path(name), "w") as f:
-            json.dump(manifest, f, indent=1)
+        _write_json(self._manifest_path(name), manifest)
         self._commit_snapshot(name, manifest, "compact", files)
         return {"stage": name, "restored_version": version,
                 "new_version": self._snapshot_versions(name)[-1],

@@ -35,6 +35,18 @@ def get_spark(app_name: str = "inclusionreferenceskg-spark",
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # size-first post-shuffle coalescing: the default
+        # (parallelismFirst=true) keeps ~defaultParallelism partitions
+        # even for KB-scale shuffles, so the pipeline's small-join tail
+        # (resolve/link/CC/triples over per-mention tables) pays
+        # core-count×(task launch + replan) of pure fixed latency — the
+        # exact term that caps N-vs-4N scaling efficiency.  Size-first
+        # coalesces those to 1-2 tasks while leaving the data-
+        # proportional UDF stages (tens of MB per partition) untouched.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+                os.environ.get("IRKG_AQE_PARALLELISM_FIRST", "false"))
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                os.environ.get("IRKG_AQE_ADVISORY", "32m"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
         .config("spark.sql.session.timeZone", "UTC")

@@ -82,6 +82,37 @@ def test_duplicate_edges_keep_last_write(spark):
     assert final[0]["label"] == "agent"  # last write wins (add_edge overwrite)
 
 
+def test_duplicate_split_matches_full_window(spark):
+    """apply_merges' broadcast singleton/duplicate split must produce the
+    exact row set of the full-table window it replaces; cutoff=0 forces
+    the web-scale full-window path on the same input (mixed singleton and
+    duplicate keys, plus a self-loop that must drop on both paths)."""
+    edges = spark.createDataFrame(
+        [("u://x", "a", "b", "patient", None, 0),
+         ("u://x", "a", "b", "agent", None, 7),
+         ("u://x", "a", "c", "loner", None, 1),
+         ("u://y", "a", "b", "other-url", None, 2),
+         ("u://x", "d", "d", "selfloop", None, 3),
+         ("u://x", "e", "f", "dup1", None, 4),
+         ("u://x", "e", "f", "dup2", None, 5)],
+        "url string, src string, dst string, label string, "
+        "attrs map<string,string>, emit_seq int")
+    canon = connected_components(_pairs(spark, []))
+
+    def rows(df):
+        return {(r["url"], r["src"], r["dst"], r["label"])
+                for r in df.collect()}
+
+    split = rows(apply_merges(None, edges, canon))
+    window = rows(apply_merges(None, edges, canon, dup_broadcast_cutoff=0))
+    assert split == window == {
+        ("u://x", "a", "b", "agent"),
+        ("u://x", "a", "c", "loner"),
+        ("u://y", "a", "b", "other-url"),
+        ("u://x", "e", "f", "dup2"),
+    }
+
+
 def test_components_distributed_loop_matches_fast_path(spark):
     """The driver-side small-quotient fast path and the distributed
     min-label loop must produce identical canonical maps; cutoff=0 forces

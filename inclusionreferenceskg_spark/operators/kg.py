@@ -347,11 +347,18 @@ def connected_components(pairs: DataFrame, max_iter: int = 12,
     pairs = pairs.localCheckpoint(eager=True)
 
     # whole-graph fast path: when the entire merge-pair list fits on
-    # the driver (explicit cutoff), one collect + union-find replaces
+    # the driver (explicit cutoff), one fetch + union-find replaces
     # the two-phase machinery's ~4 fixed jobs — the standard
     # small-input adaptive choice.  Semantics identical (min id per
     # component); the distributed phases below are the at-scale path.
-    if pairs.count() <= small_quotient_cutoff:
+    # The cutoff probe and the fetch are FUSED: limit(cutoff+1) +
+    # Arrow toPandas is one early-terminating job (vs the previous
+    # full-scan count + row-pickled collect — two jobs, and collect()
+    # built 200k Row objects on the driver); if the limit returns more
+    # than the cutoff we discard it and take the distributed path,
+    # having paid one bounded scan instead of a full count.
+    probe = pairs.select("a", "b").limit(small_quotient_cutoff + 1).toPandas()
+    if len(probe) <= small_quotient_cutoff:
         parent: dict = {}
 
         def find(x: str) -> str:
@@ -361,12 +368,13 @@ def connected_components(pairs: DataFrame, max_iter: int = 12,
                 x = parent[x]
             return x
 
-        for row in pairs.select("a", "b").collect():
-            ra, rb = find(row["a"]), find(row["b"])
+        for a, b in zip(probe["a"].to_numpy(), probe["b"].to_numpy()):
+            ra, rb = find(a), find(b)
             if ra != rb:
                 lo, hi = min(ra, rb), max(ra, rb)
                 parent[hi] = lo
-        rows = [(n, find(n)) for n in parent]
+        ids = list(parent)
+        labels = [find(n) for n in ids]
         # Arrow-path createDataFrame (pandas in, Arrow batches out) —
         # the tuple-list path pickles row-by-row on the driver, which
         # was a measurable core-count-independent slice of the CC stage;
@@ -374,10 +382,10 @@ def connected_components(pairs: DataFrame, max_iter: int = 12,
         # downstream references (csrc/cdst/canon_nodes) scan blocks
         # instead of re-shipping the python rows per subtree.
         out = spark.createDataFrame(
-            pd.DataFrame(rows, columns=["kg_id", "canon_id"])
+            pd.DataFrame({"kg_id": ids, "canon_id": labels})
             .astype("string"),
             "kg_id string, canon_id string")
-        if not rows:
+        if not ids:
             out = out.filter(F.lit(False))
         out = out.localCheckpoint(eager=True)
         # bounded by the cutoff by construction: hint broadcast so the

@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "docs_decontaminate",
     "docs_stratified_sample",
     "docs_pack_shards",
+    "docs_pack_shards_global",
     "docs_inverted_index",
     "docs_tfidf_topk",
     "q_rolling_7d_revenue",

@@ -28,6 +28,7 @@ Python in the hot path) and each has a direct DuckDB oracle twin in
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
 from .textstats import WORD_RE, hash64, norm_text
@@ -182,9 +183,8 @@ def pack_shards(documents: DataFrame, budget: int = 512) -> DataFrame:
     domain key and sorts only within a domain.  A GLOBAL pack would be a
     distributed prefix sum — two passes: per-partition token totals,
     broadcast the per-partition offsets, then a narrow per-partition
-    cumsum — noted for completeness, not needed while shards are
-    per-domain.  All arithmetic is integer, so the oracle comparison is
-    hash-exact.
+    cumsum — implemented as ``pack_shards_global``.  All arithmetic is
+    integer, so the oracle comparison is hash-exact.
     """
     from .textstats import WORD_RE
 
@@ -199,3 +199,73 @@ def pack_shards(documents: DataFrame, budget: int = 512) -> DataFrame:
             .select("doc_id", "source", "n_tokens",
                     F.expr(f"start_off div {budget}").alias("shard_id"))
             .orderBy("source", "doc_id"))
+
+
+def pack_shards_global(documents: DataFrame, budget: int = 512,
+                       parts: int | None = None) -> DataFrame:
+    """GLOBAL sequence packing over a total document order — the
+    distributed prefix sum ``pack_shards`` only documents.
+
+    A naive global cumsum would be ``Window.orderBy("doc_id")`` with no
+    partition key: Spark plans that as a SINGLE-partition sort — the
+    whole corpus through one task, a non-starter at any scale.  The
+    scalable shape is the classic two-pass scan:
+
+    1. range-partition by ``doc_id`` and sort within partitions (one
+       exchange; partition p holds ids strictly below partition p+1);
+    2. pass 1 — per-partition token totals (P rows, P = partition
+       count, collected to the driver exactly like AQE's per-partition
+       statistics) folded into exclusive per-partition offsets;
+    3. pass 2 — a NARROW Arrow-batched cumsum per partition seeded with
+       that partition's offset (state carries across the partition's
+       record batches; no further shuffle).
+
+    The output is invariant to where the range sampler happens to place
+    partition boundaries (offsets are computed from actual partition
+    contents), so the result is byte-reproducible across runs AND
+    cluster sizes — the property that makes the DuckDB oracle
+    (single-threaded global window) hash-exact against a 1000-executor
+    run.
+    """
+    from .textstats import WORD_RE
+
+    spark = documents.sparkSession
+    if parts is None:
+        parts = max(spark.sparkContext.defaultParallelism, 8)
+    toks = F.size(F.regexp_extract_all(
+        F.col("text"), F.lit(WORD_RE), F.lit(0))).cast("bigint")
+    base = (documents
+            .select("doc_id", toks.alias("n_tokens"))
+            .repartitionByRange(parts, "doc_id")
+            .sortWithinPartitions("doc_id")
+            .withColumn("pid", F.spark_partition_id())
+            # pin the partition layout: pass 2's pid->offset seed must
+            # see the exact partitioning pass 1 measured (a re-run of
+            # the range sampler could legally draw different bounds)
+            .localCheckpoint(eager=True))
+    totals = {r["pid"]: r["tot"] for r in
+              base.groupBy("pid").agg(F.sum("n_tokens").alias("tot"))
+              .collect()}
+    offsets, running = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = running
+        running += totals[pid]
+
+    def _cumsum(batches):
+        run = None  # exclusive running total at the current row
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            if run is None:
+                run = offsets.get(int(pdf["pid"].iloc[0]), 0)
+            start = run + pdf["n_tokens"].cumsum().shift(1, fill_value=0)
+            run += int(pdf["n_tokens"].sum())
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_tokens": pdf["n_tokens"],
+                "shard_id": (start // budget).astype("int64"),
+            })
+
+    out = base.mapInPandas(
+        _cumsum, "doc_id bigint, n_tokens bigint, shard_id bigint")
+    return out.orderBy("doc_id")

@@ -682,6 +682,14 @@ def docs_pack_shards(spark, sf_dir):
     return curation.pack_shards(_t(spark, sf_dir, "documents"))
 
 
+def docs_pack_shards_global(spark, sf_dir):
+    """Global-order sequence packing via the two-pass distributed prefix
+    sum (range partition -> per-partition totals -> seeded narrow
+    cumsum); output invariant to partition-boundary placement, so the
+    single-threaded DuckDB global window is hash-exact against it."""
+    return curation.pack_shards_global(_t(spark, sf_dir, "documents"))
+
+
 def docs_inverted_index(spark, sf_dir):
     return textstats.inverted_index(_t(spark, sf_dir, "documents"))
 
@@ -927,6 +935,8 @@ QUERIES: Dict[str, Callable] = {
     "multimodal_audio_chunks": multimodal_audio_chunks,
     # -- red in round 3 (oracle typing artifact, now cast) ---------------
     "docs_pack_shards": docs_pack_shards,
+    # -- new in round 4 ---------------------------------------------------
+    "docs_pack_shards_global": docs_pack_shards_global,
     # -- driver-green in round 3 ------------------------------------------
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -1949,6 +1959,16 @@ ORACLES["docs_pack_shards"] = f"""
                  len(regexp_extract_all(text, '{_WORD}')) as n_tokens
           from documents)
     order by source, doc_id"""
+
+ORACLES["docs_pack_shards_global"] = f"""
+    select doc_id, n_tokens,
+           cast(coalesce(sum(n_tokens) over (order by doc_id
+             rows between unbounded preceding and 1 preceding), 0) // 512
+             as bigint) as shard_id
+    from (select doc_id,
+                 len(regexp_extract_all(text, '{_WORD}')) as n_tokens
+          from documents)
+    order by doc_id"""
 
 ORACLES["docs_inverted_index"] = """
     with words as (

@@ -138,3 +138,32 @@ def test_incremental_new_docs_anti_join(spark):
     new = _docs(spark, [(10, "  ALPHA   beta "), (11, "epsilon zeta")])
     out = incremental_new_docs(new, seen).collect()
     assert [r.doc_id for r in out] == [11]
+
+
+def test_pack_shards_global_matches_serial_and_is_partition_invariant(spark):
+    """The two-pass distributed prefix sum must equal the serial global
+    cumsum and be invariant to the range-partition count.  1500 docs in
+    shuffled insert order with 3 partitions forces (a) multiple Arrow
+    record batches per partition (session caps batches at 256 rows), so
+    the cross-batch running state is exercised, and (b) rows arriving
+    unsorted, so the range sort is load-bearing."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, " ".join("tok" for _ in range(rng.randint(0, 40))))
+            for i in range(1500)]
+    rng.shuffle(rows)
+    d = _docs(spark, rows)
+
+    # serial expectation: exclusive cumsum in doc_id order, div 512
+    toks = {i: (0 if not t else len(t.split())) for i, t in rows}
+    run, expect = 0, {}
+    for i in sorted(toks):
+        expect[i] = run // 512
+        run += toks[i]
+
+    for parts in (3, 17):
+        out = curation.pack_shards_global(d, parts=parts).collect()
+        assert [r.doc_id for r in out] == sorted(toks)
+        got = {r.doc_id: r.shard_id for r in out}
+        assert got == expect, f"parts={parts}"

@@ -148,3 +148,45 @@ def test_iterative_graph_ops_no_window(spark, name):
     a hot node's rows would serialize into one sort task."""
     plan = _plan(spark, name)
     assert "Window" not in plan, name
+
+
+def test_apply_merges_singleton_path_is_shuffle_free(spark):
+    """The last-write-wins edge dedup must keep the fat (map-typed attrs)
+    rows off the exchange for singleton keys: the split plan carries the
+    singleton majority through a broadcast LEFT ANTI probe against the
+    skinny duplicate-key census, and exactly ONE Window (over the
+    duplicate minority) survives; the cutoff fallback is the full-table
+    window.  A regression that windows the whole table re-shuffles every
+    fat row at web scale."""
+    from pyspark.sql import functions as F
+    from inclusionreferenceskg_spark.operators.kg import apply_merges
+
+    edges = spark.createDataFrame(
+        [("u://x", "a", "b", "l", None, 0),
+         ("u://x", "a", "b", "l2", None, 1),
+         ("u://x", "c", "d", "l3", None, 2)],
+        "url string, src string, dst string, label string, "
+        "attrs map<string,string>, emit_seq int")
+    canon = spark.createDataFrame(
+        [("zzz", "zzz")], "kg_id string, canon_id string"
+    ).filter(F.lit(False)).localCheckpoint(eager=True).hint("broadcast")
+
+    def fmt(df):
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted"))
+
+    import re
+
+    def n_windows(plan):
+        # formatted mode numbers each operator once: "(k) Window";
+        # \b excludes WindowGroupLimit (the rank-limit pushdown helper)
+        return len(re.findall(r"\(\d+\) Window\b", plan))
+
+    split = fmt(apply_merges(None, edges, canon))
+    assert n_windows(split) == 1, split
+    assert "LeftAnti" in split, split
+
+    full = fmt(apply_merges(None, edges, canon, dup_broadcast_cutoff=0))
+    assert n_windows(full) == 1, full
+    assert "LeftAnti" not in full, full

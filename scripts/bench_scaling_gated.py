@@ -33,12 +33,31 @@ def load1() -> float:
         return float(f.read().split()[0])
 
 
+def _quantum() -> float:
+    """Instantaneous single-thread CPU quantum (same protocol as
+    bench.py's in-run meter).  The 1-minute load average lags co-tenant
+    bursts by up to a minute; the quantum reads the core NOW."""
+    import hashlib
+    h = b"x"
+    t0 = time.perf_counter()
+    for _ in range(300000):
+        h = hashlib.sha256(h).digest()
+    return time.perf_counter() - t0
+
+
+#: a leg only starts when two quantum samples 1 s apart both read at or
+#: below this (clean-core readings on this box: 0.14-0.17 s)
+QUANTUM_CLEAN = float(os.environ.get("SCALE_QUANTUM_CLEAN", "0.175"))
+
+
 def wait_quiet() -> float:
     t0 = time.time()
     while time.time() - t0 < WAIT_MAX:
         ld = load1()
-        if ld <= QUIET:
-            return ld
+        if ld <= QUIET and _quantum() <= QUANTUM_CLEAN:
+            time.sleep(1.0)
+            if _quantum() <= QUANTUM_CLEAN:
+                return ld
         time.sleep(20)
     return load1()
 
@@ -61,7 +80,12 @@ def main() -> None:
             rec = {"trial": t, "cpus": cpus,
                    "kg_secs": r["queries"]["kg_triples"],
                    "rate": r["value"], "n_triples": r["n_triples"],
-                   "load_before": ld_before, "load_after": load1()}
+                   "load_before": ld_before, "load_after": load1(),
+                   # per-leg in-run interference meter (from bench.py):
+                   # during/idle quantum dilation marks mid-leg co-tenant
+                   # bursts that the load_before stamp cannot see
+                   "cpu_quantum_idle": r.get("cpu_quantum_idle"),
+                   "cpu_quantum_during": r.get("cpu_quantum_during")}
             records.append(rec)
             if best[cpus] is None or rec["kg_secs"] < best[cpus]["kg_secs"]:
                 best[cpus] = rec

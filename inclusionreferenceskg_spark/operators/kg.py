@@ -182,7 +182,9 @@ def doc_node_display(nodes: DataFrame) -> DataFrame:
 
 
 def entity_link_pairs(kg_nodes: DataFrame, l3: DataFrame,
-                      nodes: DataFrame) -> DataFrame:
+                      nodes: DataFrame,
+                      l3_broadcast_cutoff: int = 200_000,
+                      l3_hits_cutoff: int = 1_000_000) -> DataFrame:
     """Merge pairs from all four linkers as (url, a, b) edge rows.
 
     Every group becomes a star to its min member — equivalent input to
@@ -239,7 +241,74 @@ def entity_link_pairs(kg_nodes: DataFrame, l3: DataFrame,
 
     # L3: "<obj> VERB/ADJ ADP+ <ref>" — merge with same-lemma-set kg nodes
     # under the reference target's subtree (reference_linker.py:62-89);
-    # subtree test = path-prefix over materialized paths
+    # subtree test = path-prefix over materialized paths.
+    #
+    # ADAPTIVE PLAN.  The candidate set is one row per ReferenceLinker
+    # pattern hit — orders of magnitude smaller than the corpus (zero on
+    # corpora without inclusion-reference syntax).  The join INPUTS are
+    # corpus-scale, though: attaching owner paths means kg_nodes ⋈ nodes
+    # (4.5M × 3.5M rows with fat path arrays at 80k docs) plus a full
+    # nodes shuffle for target paths — and because AQE submits all leaf
+    # query stages of a join tree concurrently, those exchanges run to
+    # completion BEFORE the runtime can observe that the candidate side
+    # is tiny or empty.  Measured: 65 s of the 67 s link stage at
+    # 16 cores / 80k docs, I/O-bound (1.16× core scaling) — the single
+    # largest input-size-coupled term in the pipeline's scaling tail.
+    # So materialize the candidates first and pick the plan by their
+    # actual size:
+    #   0 rows    -> no L3 pairs; skip the join machinery entirely;
+    #   <= cutoff -> drive BROADCAST hash joins off the candidates:
+    #                corpus-scale tables are only ever SCANNED (their
+    #                checkpointed blocks; no exchange), every join
+    #                output stays candidate-sized;
+    #   >  cutoff -> the original shuffle plan (a corpus where reference
+    #                syntax is dense enough that the candidate set is
+    #                itself corpus-scale deserves honest shuffles).
+    l3r = (l3.select(F.col("url").alias("l3_url"), "src_kg_id",
+                     F.col("lemma_set_key").alias("l3_lemma_set_key"),
+                     "target_node_id", "target_url")
+           .localCheckpoint(eager=True))
+    n_l3 = l3r.count()
+    if n_l3 == 0:
+        return fused.distinct()
+    if n_l3 <= l3_broadcast_cutoff:
+        # 1. attach the target's path: scan nodes against broadcast hash
+        cand = (nodes.select(F.col("node_id").alias("target_node_id"),
+                             F.col("path").alias("t_path"))
+                .join(F.broadcast(l3r), "target_node_id", "inner"))
+        # 2. same-url same-lemma-set kg nodes: scan kg_nodes against the
+        #    (still candidate-sized) broadcast
+        hits = (kg_nodes
+                .join(F.broadcast(cand),
+                      (F.col("url") == F.col("target_url"))
+                      & (F.col("lemma_set_key")
+                         == F.col("l3_lemma_set_key"))
+                      & (F.col("kg_id") != F.col("src_kg_id")),
+                      "inner")
+                .select("l3_url", "src_kg_id",
+                        F.col("kg_id").alias("kn_kg_id"),
+                        F.col("node_id").alias("owner_node_id"),
+                        F.col("url").alias("owner_url"), "t_path")
+                .localCheckpoint(eager=True))
+        # 3. attach the matched node's own path for the subtree test.
+        #    `hits` can exceed candidate size (candidates × same-lemma
+        #    nodes per url); guard the broadcast with its measured count
+        #    and fall back to a plain equi-join (shuffle of `hits` +
+        #    one nodes shuffle) past the cap.
+        owner = nodes.select(F.col("node_id").alias("owner_node_id"),
+                             F.col("url").alias("owner_url"),
+                             F.col("path").alias("owner_path"))
+        probe = (F.broadcast(hits) if hits.count() <= l3_hits_cutoff
+                 else hits)
+        l3p = (owner
+               .join(probe, ["owner_node_id", "owner_url"], "inner")
+               .filter(F.expr("slice(owner_path, 1, size(t_path))")
+                       == F.col("t_path"))
+               .select(F.col("l3_url").alias("url"),
+                       F.col("src_kg_id").alias("a"),
+                       F.col("kn_kg_id").alias("b")))
+        return fused.unionByName(l3p).distinct()
+
     owner_paths = nodes.select(F.col("node_id").alias("owner_node_id"),
                                F.col("url").alias("owner_url"),
                                F.col("path").alias("owner_path"))
@@ -253,9 +322,6 @@ def entity_link_pairs(kg_nodes: DataFrame, l3: DataFrame,
                   F.col("kg_id").alias("kn_kg_id"),
                   F.col("lemma_set_key").alias("kn_lemma_set_key"),
                   "owner_path"))
-    l3r = l3.select(F.col("url").alias("l3_url"), "src_kg_id",
-                    F.col("lemma_set_key").alias("l3_lemma_set_key"),
-                    "target_node_id", "target_url")
     l3p = (l3r
            .join(target_paths, "target_node_id", "inner")
            .join(kn,

@@ -128,3 +128,82 @@ def test_components_distributed_loop_matches_fast_path(spark):
                 small_quotient_cutoff=0).collect()}
     assert fast == loop
     assert fast  # non-empty
+
+
+def _l3_fixture(spark):
+    """Tiny corpus with a non-empty L3 candidate set: one reference from
+    src kg node s1 to document node n1, whose subtree (n1, n2, n3) holds
+    one same-lemma-set kg node (g1) plus decoys (wrong key, wrong url,
+    outside the subtree, the src itself)."""
+    from pyspark.sql import types as T
+
+    pe = T.StructType([T.StructField("node_type", T.StringType()),
+                       T.StructField("number", T.IntegerType()),
+                       T.StructField("title", T.StringType())])
+    nodes = spark.createDataFrame(
+        [("u1", "n1", [("Document", 1, "d")]),
+         ("u1", "n2", [("Document", 1, "d"), ("Article", 1, None)]),
+         ("u1", "n3", [("Document", 1, "d"), ("Article", 2, None)]),
+         ("u1", "n4", [("Document", 2, "e")]),          # outside subtree
+         ("u2", "m1", [("Document", 1, "d")])],
+        T.StructType([T.StructField("url", T.StringType()),
+                      T.StructField("node_id", T.StringType()),
+                      T.StructField("path", T.ArrayType(pe))]))
+    kg_cols = ("url string, node_id string, kg_id string, kind string, "
+               "token_key string, para_key string, coref_lemma string, "
+               "coref_tag string, propn_key string, lemma_set_key string")
+    kg_nodes = spark.createDataFrame(
+        [("u1", "n1", "s1", "object", "tk-s1", None, None, None, None, "k"),
+         ("u1", "n2", "g1", "object", "tk-g1", None, None, None, None, "k"),
+         ("u1", "n3", "g2", "object", "tk-g2", None, None, None, None, "x"),
+         ("u1", "n4", "g3", "object", "tk-g3", None, None, None, None, "k"),
+         ("u2", "m1", "g4", "object", "tk-g4", None, None, None, None, "k")],
+        kg_cols)
+    l3 = spark.createDataFrame(
+        [("u1", "s1", "k", "n1", "u1")],
+        "url string, src_kg_id string, lemma_set_key string, "
+        "target_node_id string, target_url string")
+    return kg_nodes, l3, nodes
+
+
+def test_l3_broadcast_plan_matches_shuffle_plan(spark):
+    """The adaptive L3 join (candidate-driven broadcast plan) must emit
+    the identical pair set as the corpus-shuffle fallback, on a corpus
+    where every decoy class is present."""
+    from inclusionreferenceskg_spark.operators.kg import entity_link_pairs
+
+    kg_nodes, l3, nodes = _l3_fixture(spark)
+    want_l3 = {("u1", "s1", "g1")}
+
+    def rows(df):
+        return {(r.url, r.a, r.b) for r in df.collect()}
+
+    bcast = rows(entity_link_pairs(kg_nodes, l3, nodes))
+    bcast_guarded = rows(entity_link_pairs(kg_nodes, l3, nodes,
+                                           l3_hits_cutoff=0))
+    shuffle = rows(entity_link_pairs(kg_nodes, l3, nodes,
+                                     l3_broadcast_cutoff=0))
+    assert bcast == bcast_guarded == shuffle
+    assert want_l3 <= bcast  # the genuine L3 pair is present
+    # decoys excluded on every plan
+    for bad in [("u1", "s1", "g2"), ("u1", "s1", "g3"),
+                ("u1", "s1", "g4"), ("u1", "s1", "s1")]:
+        assert bad not in bcast
+
+
+def test_l3_empty_candidates_short_circuit(spark):
+    """Zero candidates -> identical output to the shuffle plan (which
+    joins through an empty side) with no corpus-scale join inputs."""
+    from inclusionreferenceskg_spark.operators.kg import entity_link_pairs
+
+    kg_nodes, l3, nodes = _l3_fixture(spark)
+    empty = l3.filter(F.lit(False))
+    fast = {(r.url, r.a, r.b)
+            for r in entity_link_pairs(kg_nodes, empty, nodes).collect()}
+    slow = {(r.url, r.a, r.b)
+            for r in entity_link_pairs(kg_nodes, empty, nodes,
+                                       l3_broadcast_cutoff=0).collect()}
+    assert fast == slow
+    # the fused star (L1 token groups etc.) is unaffected by the
+    # short-circuit; no pair references the L3 target machinery
+    assert all(a != "s1" or b != "g1" for _, a, b in fast)

@@ -29,6 +29,16 @@ from pyspark.sql import DataFrame, Window, functions as F, types as T
 from inclusionreferenceskg_spark.functions.grammar import detect
 from inclusionreferenceskg_spark.functions.kgbuild import render_document
 
+
+def _jobdesc(desc: str) -> None:
+    """Label the jobs the next blocking action spawns (Spark UI / REST
+    attribution for the scaling-tail profile; no plan effect)."""
+    from pyspark.sql import SparkSession
+    s = SparkSession.getActiveSession()
+    if s is not None:
+        s.sparkContext.setJobDescription(desc)
+
+
 GRAPH_ROWS = T.StructType([
     T.StructField("row_kind", T.StringType(), False),   # node|edge|l3
     T.StructField("url", T.StringType(), False),
@@ -184,7 +194,8 @@ def doc_node_display(nodes: DataFrame) -> DataFrame:
 def entity_link_pairs(kg_nodes: DataFrame, l3: DataFrame,
                       nodes: DataFrame,
                       l3_broadcast_cutoff: int = 200_000,
-                      l3_hits_cutoff: int = 1_000_000) -> DataFrame:
+                      l3_hits_cutoff: int = 1_000_000,
+                      dedup: bool = True) -> DataFrame:
     """Merge pairs from all four linkers as (url, a, b) edge rows.
 
     Every group becomes a star to its min member — equivalent input to
@@ -211,28 +222,32 @@ def entity_link_pairs(kg_nodes: DataFrame, l3: DataFrame,
             F.coalesce(F.col(c), F.lit("\x00")) for c in cols]
         return F.concat_ws("\x1f", *parts)
 
-    # L1: same token object (same_token_linker.py:9-18) — predicates and
-    # objects both carry tokens
-    m1 = kg_nodes.select("url", "kg_id",
-                         key_expr("L1", ["token_key"]).alias("k"))
-    # L2: same coref-resolved (lemma, tag) within the same Paragraph,
-    # PhraseObjects only (same_lemma_in_same_paragraph_linker.py:21-54)
-    m2 = (kg_nodes.filter((F.col("kind") == "object")
-                          & F.col("para_key").isNotNull())
-          .select("url", "kg_id",
-                  key_expr("L2", ["para_key", "coref_lemma",
-                                  "coref_tag"]).alias("k")))
-    # L4: proper nouns by (text, compound-children) surface, per document
-    # (proper_noun_linker.py:12-26)
-    m4 = (kg_nodes.filter(F.col("propn_key").isNotNull())
-          .select("url", "kg_id",
-                  key_expr("L4", ["url", "propn_key"]).alias("k")))
+    # One scan of the kg-node table, not three: each node emits an array
+    # of its applicable linker keys (L1 always; L2 for PhraseObjects in a
+    # paragraph; L4 for proper nouns), compacted and exploded.  The union
+    # form evaluated the (wide-checkpoint scan + filter + key concat)
+    # subtree once per linker; codegen evaluates this in a single pass.
+    #   L1: same token object (same_token_linker.py:9-18) — predicates
+    #       and objects both carry tokens
+    #   L2: same coref-resolved (lemma, tag) within the same Paragraph,
+    #       PhraseObjects only (same_lemma_in_same_paragraph_linker.py:21-54)
+    #   L4: proper nouns by (text, compound-children) surface, per
+    #       document (proper_noun_linker.py:12-26)
+    key_array = F.array_compact(F.array(
+        key_expr("L1", ["token_key"]),
+        F.when((F.col("kind") == "object")
+               & F.col("para_key").isNotNull(),
+               key_expr("L2", ["para_key", "coref_lemma", "coref_tag"])),
+        F.when(F.col("propn_key").isNotNull(),
+               key_expr("L4", ["url", "propn_key"]))))
     # the member list feeds BOTH the min aggregate and the join-back
-    # probe; materialize it once or each side re-evaluates the 3-way
-    # union + key concat over the kg-node table (measured 5.5s -> 3.4s
-    # for the fused star at 16 cores / 20k docs).  Skinny rows (two ids
-    # + key), so the checkpoint barrier is cheap at any scale.
-    members = (m1.unionByName(m2).unionByName(m4)
+    # probe; materialize it once or each side re-evaluates the explode
+    # over the kg-node table (measured 5.5s -> 3.4s for the fused star at
+    # 16 cores / 20k docs).  Skinny rows (two ids + key), so the
+    # checkpoint barrier is cheap at any scale.
+    _jobdesc("link: member list materialize")
+    members = (kg_nodes.select("url", "kg_id",
+                               F.explode(key_array).alias("k"))
                .localCheckpoint(eager=True))
     mins = members.groupBy("k").agg(F.min("kg_id").alias("a"))
     fused = (members.join(mins, "k")
@@ -264,13 +279,14 @@ def entity_link_pairs(kg_nodes: DataFrame, l3: DataFrame,
     #   >  cutoff -> the original shuffle plan (a corpus where reference
     #                syntax is dense enough that the candidate set is
     #                itself corpus-scale deserves honest shuffles).
+    _jobdesc("link: L3 candidates materialize")
     l3r = (l3.select(F.col("url").alias("l3_url"), "src_kg_id",
                      F.col("lemma_set_key").alias("l3_lemma_set_key"),
                      "target_node_id", "target_url")
            .localCheckpoint(eager=True))
     n_l3 = l3r.count()
     if n_l3 == 0:
-        return fused.distinct()
+        return fused.distinct() if dedup else fused
     if n_l3 <= l3_broadcast_cutoff:
         # 1. attach the target's path: scan nodes against broadcast hash
         cand = (nodes.select(F.col("node_id").alias("target_node_id"),
@@ -278,6 +294,7 @@ def entity_link_pairs(kg_nodes: DataFrame, l3: DataFrame,
                 .join(F.broadcast(l3r), "target_node_id", "inner"))
         # 2. same-url same-lemma-set kg nodes: scan kg_nodes against the
         #    (still candidate-sized) broadcast
+        _jobdesc("link: L3 hits scan")
         hits = (kg_nodes
                 .join(F.broadcast(cand),
                       (F.col("url") == F.col("target_url"))
@@ -307,7 +324,8 @@ def entity_link_pairs(kg_nodes: DataFrame, l3: DataFrame,
                .select(F.col("l3_url").alias("url"),
                        F.col("src_kg_id").alias("a"),
                        F.col("kn_kg_id").alias("b")))
-        return fused.unionByName(l3p).distinct()
+        out = fused.unionByName(l3p)
+        return out.distinct() if dedup else out
 
     owner_paths = nodes.select(F.col("node_id").alias("owner_node_id"),
                                F.col("url").alias("owner_url"),
@@ -335,7 +353,8 @@ def entity_link_pairs(kg_nodes: DataFrame, l3: DataFrame,
                    F.col("src_kg_id").alias("a"),
                    F.col("kn_kg_id").alias("b")))
 
-    return fused.unionByName(l3p).distinct()
+    out = fused.unionByName(l3p)
+    return out.distinct() if dedup else out
 
 
 def _partition_union_find(batches):
@@ -410,6 +429,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 12,
     # evaluates the LINKER JOIN PLAN, so it runs under the caller's AQE
     # setting (coalescing/skew-split apply); only the fixed-latency
     # distributed phases below turn AQE off.
+    _jobdesc("cc: pairs materialize (linker join plan)")
     pairs = pairs.localCheckpoint(eager=True)
 
     # whole-graph fast path: when the entire merge-pair list fits on
@@ -423,6 +443,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 12,
     # built 200k Row objects on the driver); if the limit returns more
     # than the cutoff we discard it and take the distributed path,
     # having paid one bounded scan instead of a full count.
+    _jobdesc("cc: driver fast-path probe+fetch")
     probe = pairs.select("a", "b").limit(small_quotient_cutoff + 1).toPandas()
     if len(probe) <= small_quotient_cutoff:
         parent: dict = {}
@@ -453,6 +474,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 12,
             "kg_id string, canon_id string")
         if not ids:
             out = out.filter(F.lit(False))
+        _jobdesc("cc: driver labels publish")
         out = out.localCheckpoint(eager=True)
         # bounded by the cutoff by construction: hint broadcast so the
         # apply_merges/make_triples joins skip the shuffle AND the AQE
@@ -468,6 +490,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 12,
         # document-local iff the prefixes match
         doc_local = F.substring("a", 1, 12) == F.substring("b", 1, 12)
         nparts = max(spark.sparkContext.defaultParallelism, cc_parts)
+        _jobdesc("cc: local contraction")
         local_map = (pairs.filter(doc_local)
                      .repartition(nparts, F.substring("a", 1, 12))
                      .mapInPandas(_partition_union_find,
@@ -484,6 +507,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 12,
                     .select(F.coalesce("ra", "a").alias("a"),
                             F.coalesce("rb", "b").alias("b"))
                     .filter(F.col("a") != F.col("b")))
+        _jobdesc("cc: quotient edges")
         edges = (quotient.select(F.col("a").alias("x"),
                                  F.col("b").alias("y"))
                  .union(quotient.select(F.col("b").alias("x"),
@@ -524,6 +548,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 12,
             if not label_rows:
                 labels = labels.filter(F.lit(False))
         else:
+            _jobdesc("cc: min-label init")
             labels = (edges.select(F.col("x").alias("id"))
                       .distinct()
                       .withColumn("label", F.col("id"))
@@ -546,6 +571,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 12,
             for _ in range(0, max_iter, 2):
                 # double-step between convergence checks: halves the driver
                 # round-trips; the extra pass after convergence is a no-op
+                _jobdesc("cc: min-label double-step")
                 new_labels = step(step(labels)).localCheckpoint(eager=True)
                 changed = (new_labels.alias("n")
                            .join(labels.alias("o"), "id")
@@ -599,6 +625,7 @@ def apply_merges(kg_nodes: DataFrame, kg_edges: DataFrame,
                         F.col("canon_id").alias("csrc"))
     cdst = canon.select(F.col("kg_id").alias("dst"),
                         F.col("canon_id").alias("cdst"))
+    _jobdesc("merge: canon-rewritten edges materialize")
     rewritten = (kg_edges
                  .join(csrc, "src", "left")
                  .join(cdst, "dst", "left")
@@ -606,8 +633,16 @@ def apply_merges(kg_nodes: DataFrame, kg_edges: DataFrame,
                          F.coalesce("csrc", "src").alias("src"),
                          F.coalesce("cdst", "dst").alias("dst"),
                          "label", "attrs", "emit_seq")
-                 .filter(F.col("src") != F.col("dst")))
+                 .filter(F.col("src") != F.col("dst"))
+                 # THREE consumers scan this (dup census, singleton
+                 # anti-join, winner semi-join+window); without the
+                 # barrier each re-evaluates the edge-scale canon-rewrite
+                 # join — measured as the largest slice of the 16-core
+                 # fixed tail (profile_job_gaps: ~12 s of re-evaluation
+                 # at 80k docs)
+                 .localCheckpoint(eager=True))
     key = ["url", "src", "dst"]
+    _jobdesc("merge: dup-key census")
     dup_keys = (rewritten.groupBy(*key)
                 .agg(F.count("*").alias("n"))
                 .filter(F.col("n") > 1)
@@ -642,8 +677,15 @@ def make_triples(final_edges: DataFrame, kg_nodes: DataFrame,
                    .filter(F.col("cid") == F.col("kg_id"))
                    .select(F.col("kg_id"),
                            F.col("token_text").alias("display")))
+    _jobdesc("triples: display map materialize")
+    # the src and dst joins below each scan this map; without the barrier
+    # the (kg_nodes ⋈ canon) ∪ doc-display subtree evaluates twice —
+    # Spark has no cross-join common-subexpression reuse.  Skinny rows
+    # (id, short display string), node-scale.
     display = canon_nodes.unionByName(
-        doc_node_display(nodes).select("kg_id", "display"))
+        doc_node_display(nodes).select("kg_id", "display")) \
+        .localCheckpoint(eager=True)
+    _jobdesc("triples: edge-display joins")
 
     e = final_edges if structural else final_edges.filter(
         ~F.col("label").isin("defines", "contains"))
@@ -668,8 +710,10 @@ def build_graph(nodes: DataFrame, resolved: DataFrame,
     # triples) re-plan a one-node scan instead of the whole pipeline —
     # driver planning was a measurable slice of the core-count-independent
     # cost that caps scaling efficiency
+    _jobdesc("extract: wide materialize (annotate/extract UDF)")
     wide = extract_graph(nodes, resolved,
                          include_extensions).localCheckpoint(eager=True)
+    _jobdesc("link+cc+triples tail")
     kn = graph_nodes(wide)
     ke = graph_edges(wide).unionByName(contains_edges(nodes))
     pairs = entity_link_pairs(kn, l3_candidates(wide), nodes)

@@ -45,7 +45,9 @@ def run_pipeline(pages: DataFrame, include_extensions: bool = False,
         # (Checkpointing EVERY stage is slower — extra barriers serialize
         # the diamond; only the shared fan-out roots `nodes` and `wide`
         # warrant it.)
+        kg_ops._jobdesc("parse: nodes materialize (parse UDF)")
         nodes = nodes.localCheckpoint(eager=True)
+        kg_ops._jobdesc("qualify/resolve")
     qualifiers = build_qualifiers(nodes)
     resolved = resolve_targets(qualifiers, nodes)
     kn, edges, canon, triples = kg_ops.build_graph(nodes, resolved,

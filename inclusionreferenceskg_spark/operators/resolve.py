@@ -103,16 +103,26 @@ def resolve_targets(qualifiers: DataFrame, nodes: DataFrame) -> DataFrame:
     titles = document_titles(nodes).withColumn(
         "title_norm", F.lower(F.trim(F.col("doc_title_actual"))))
 
+    # SHUFFLE_HASH, not the planner's default: every table here descends
+    # from a localCheckpoint whose LogicalRDD inherits the PRE-checkpoint
+    # size estimate (a few KiB — the synth/source relation before the
+    # parse UDF's fan-out), so autoBroadcastJoinThreshold sees "tiny" on
+    # corpus-scale sides and silently broadcasts them.  Measured at 80k
+    # docs: the candidate join below broadcast the full 3.48M-row nodes
+    # projection — 1 856 MiB, 37.9 s of SINGLE-THREADED driver
+    # collect+build+broadcast, the largest core-count-independent term in
+    # the N-vs-4N tail — and at web scale the title dimension (one row
+    # per document) can never be broadcast at all.
     exact = (cross_doc
              .withColumn("title_norm", F.lower(F.trim(F.col("doc_title"))))
-             .join(titles, "title_norm", "inner")
+             .join(titles.hint("shuffle_hash"), "title_norm", "inner")
              .select(*base_cols, F.col("resolved_url").alias("join_url")))
 
     remainder = (cross_doc
                  .withColumn("title_norm",
                              F.lower(F.trim(F.col("doc_title"))))
-                 .join(titles.select("title_norm"), "title_norm",
-                       "left_anti"))
+                 .join(titles.select("title_norm").hint("shuffle_hash"),
+                       "title_norm", "left_anti"))
     lenient = (
         F.lower(F.col("doc_title_actual")).contains(F.lower(F.col("doc_title")))
         | F.lower(F.col("doc_title")).contains(F.lower(F.col("doc_title_actual")))
@@ -128,8 +138,11 @@ def resolve_targets(qualifiers: DataFrame, nodes: DataFrame) -> DataFrame:
     # one equi-join on (url, node type) for both the Document level and
     # inner levels — the number condition (exact or wildcard -1; vacuous
     # for Document patterns) is a post-join filter, so the mentions table
-    # is shuffled once instead of once per branch
-    joined = quals.join(
+    # is shuffled once instead of once per branch.  The SHUFFLE_HASH hint
+    # on the quals side pins the documented plan (both corpus-scale sides
+    # shuffle on the keys; the skinnier mention side builds the
+    # per-partition hash map) against the checkpoint-stats trap above.
+    joined = quals.hint("shuffle_hash").join(
         cand,
         (F.col("join_url") == cand["target_url"])
         & (F.col("deep_type") == cand["cand_type"]),

@@ -190,3 +190,42 @@ def test_apply_merges_singleton_path_is_shuffle_free(spark):
     full = fmt(apply_merges(None, edges, canon, dup_broadcast_cutoff=0))
     assert n_windows(full) == 1, full
     assert "LeftAnti" not in full, full
+
+
+def test_resolve_candidate_join_never_broadcasts_the_corpus(spark):
+    """The resolve candidate join (quals x nodes on (url, node_type)) and
+    the document-title joins must plan as SHUFFLE joins, never broadcast
+    the nodes-scale side.  Every kg-path table descends from a
+    localCheckpoint whose LogicalRDD inherits the PRE-checkpoint size
+    estimate (a few KiB), so without explicit hints the planner reads
+    "tiny" on corpus-scale sides: measured at 80k docs it broadcast the
+    full 3.48M-row candidate projection — 1 856 MiB and 37.9 s of
+    single-threaded driver build, the largest core-count-independent term
+    in the N-vs-4N scaling tail — and at 10^12 pages that broadcast is an
+    executor OOM.  The only legal broadcast in the resolve plan is the
+    lenient-title nested loop over the left-anti REMAINDER (explicitly
+    F.broadcast'ed, near-empty by construction)."""
+    from inclusionreferenceskg_spark import synth
+    from inclusionreferenceskg_spark.operators.detect import build_qualifiers
+    from inclusionreferenceskg_spark.operators.parse import parse_pages
+    from inclusionreferenceskg_spark.operators.resolve import resolve_targets
+
+    pages = synth.synthesize_pages(spark, 8, partitions=2)
+    nodes = parse_pages(pages).localCheckpoint(eager=True)
+    resolved = resolve_targets(build_qualifiers(nodes), nodes)
+    plan = resolved._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+    import re
+
+    def n_ops(name):
+        # formatted mode numbers each operator once in the tree and once
+        # in the details section; count the numbered detail headers
+        return len(re.findall(rf"\(\d+\) {name}\b", plan))
+
+    # candidate join + exact-title join + left-anti title probe all shuffle
+    assert n_ops("ShuffledHashJoin") >= 3, plan
+    # no equi-join may broadcast (the checkpoint-stats trap); the one
+    # BroadcastNestedLoopJoin is the explicit lenient-remainder pass
+    assert n_ops("BroadcastHashJoin") == 0, plan
+    assert n_ops("BroadcastNestedLoopJoin") == 1, plan

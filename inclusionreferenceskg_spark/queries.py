@@ -257,7 +257,10 @@ def q_funnel_conversion(spark, sf_dir):
     nv = v.agg(F.count("*").alias("n_viewed"))
     nc = c.agg(F.count("*").alias("n_clicked"))
     npu = p.agg(F.count("*").alias("n_purchased"))
-    return (nv.crossJoin(nc).crossJoin(npu)
+    # explicit broadcast: each side is ONE row by construction (global
+    # count aggregates); with static auto-broadcast off (session.py) the
+    # planner would otherwise fall back to CartesianProduct
+    return (nv.crossJoin(F.broadcast(nc)).crossJoin(F.broadcast(npu))
             .select("n_viewed", "n_clicked", "n_purchased",
                     F.round(F.expr("n_clicked / nullif(n_viewed, 0)"), 4)
                     .alias("view_to_click"),

@@ -47,6 +47,21 @@ def get_spark(app_name: str = "inclusionreferenceskg-spark",
                 os.environ.get("IRKG_AQE_PARALLELISM_FIRST", "false"))
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
                 os.environ.get("IRKG_AQE_ADVISORY", "32m"))
+        # Static auto-broadcast OFF, adaptive auto-broadcast ON.  Every
+        # kg-path table descends from a UDF fan-out and a localCheckpoint
+        # whose LogicalRDD inherits the PRE-checkpoint size estimate (a
+        # few KiB), so static broadcast decisions are made on garbage
+        # stats: measured at 80k docs the planner broadcast the full
+        # 3.48M-row resolve candidate table (1,856 MiB, 37.9 s of
+        # single-threaded driver build) — and at 10^12 pages such a
+        # broadcast is an executor OOM.  Intended small sides are all
+        # explicit (F.broadcast / hints); AQE may still convert
+        # shuffle->broadcast at runtime, where it sees REAL sizes and the
+        # decision self-corrects at any scale.
+        .config("spark.sql.autoBroadcastJoinThreshold",
+                os.environ.get("IRKG_STATIC_BROADCAST", "-1"))
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold",
+                os.environ.get("IRKG_ADAPTIVE_BROADCAST", "10m"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
         .config("spark.sql.session.timeZone", "UTC")

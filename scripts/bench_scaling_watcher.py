@@ -1,0 +1,133 @@
+"""Opportunistic quantum-gated scaling legs for a burst-saturated box.
+
+The gated 3-trial protocol (`bench_scaling_gated.py`) fails on days when
+co-tenant burst campaigns run longer than any leg: every leg of every
+trial absorbs 1.3-2x mid-run dilation and the minima are still polluted
+(see BENCH/gated_4v16_80k_r4h.json: six legs, best pair 0.59, every
+during-mean >= 1.37x idle).  This watcher inverts control: it samples the
+single-thread CPU quantum continuously and only LAUNCHES a leg when the
+core reads truly clean (two consecutive samples at or below the clean
+bar, 1 s apart), alternating hi/lo so both levels accumulate attempts.
+Legs append to a pooled JSONL; the round's evidence is the per-level
+minima across the pool (same adjudication rule as the gated runs).
+
+Env: WATCH_LO/WATCH_HI (cores), WATCH_DOCS, WATCH_CLEAN (quantum bar,
+s), WATCH_HOURS (stop after), WATCH_OUT (jsonl path).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LO = int(os.environ.get("WATCH_LO", "4"))
+HI = int(os.environ.get("WATCH_HI", "16"))
+DOCS = os.environ.get("WATCH_DOCS", "80000")
+CLEAN = float(os.environ.get("WATCH_CLEAN", "0.13"))
+HOURS = float(os.environ.get("WATCH_HOURS", "4.0"))
+OUT = os.environ.get("WATCH_OUT", "/tmp/watcher_legs.jsonl")
+
+
+def quantum() -> float:
+    import hashlib
+    h = b"x"
+    t0 = time.perf_counter()
+    for _ in range(300000):
+        h = hashlib.sha256(h).digest()
+    return time.perf_counter() - t0
+
+
+def load1() -> float:
+    with open("/proc/loadavg") as f:
+        return float(f.read().split()[0])
+
+
+#: pin each leg to exactly N cores with taskset.  local[N] alone does
+#: NOT model an N-core executor on a 32-core box: the JVM sizes its GC
+#: worker pool (~5/8 of MACHINE cores = ~23 threads here), netty/shuffle
+#: IO pools, and the in-run meter thread from the box, not the master
+#: string — measured lo-leg load_after reads 4.1-4.7 for "local[4]", so
+#: the 4-core leg borrows ~10-15% extra CPU, inflating its rate and
+#: mechanically depressing every N-vs-4N ratio.  taskset bounds the
+#: whole process tree (JVM + pyspark workers); OpenJDK's
+#: availableProcessors honors the affinity mask, so GC/netty pools
+#: auto-size to N as they would on a real N-core executor.
+TASKSET = os.environ.get("WATCH_TASKSET", "") == "1"
+
+
+def run_leg(cpus: int) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
+               SPARK_GRAFT_KG_ONLY="1", SPARK_GRAFT_BENCH_TRIALS="1",
+               SPARK_GRAFT_BENCH_DOCS=DOCS)
+    cmd = [sys.executable, os.path.join(REPO, "bench.py")]
+    if TASKSET:
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+    # external co-tenant meter: on a pinned leg the bench-internal meter
+    # thread shares the leg's own N-core mask and self-contends with the
+    # task threads, so its "during" stats no longer isolate co-tenant
+    # pressure.  This thread runs in the (unpinned) watcher process and
+    # samples cores OUTSIDE the leg's mask — co-tenant campaigns are not
+    # pinned and land there too.
+    import threading
+    samples: list[float] = []
+    done = threading.Event()
+
+    def _meter() -> None:
+        while not done.is_set():
+            samples.append(quantum())
+            done.wait(2.0)
+
+    mt = threading.Thread(target=_meter, daemon=True)
+    mt.start()
+    try:
+        out = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                             check=True)
+    finally:
+        done.set()
+        mt.join(timeout=5)
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    if samples:
+        s = sorted(samples)
+        rec["watcher_quantum_during"] = {
+            "n": len(s), "min": round(s[0], 4), "max": round(s[-1], 4),
+            "p50": round(s[len(s) // 2], 4),
+            "mean": round(sum(s) / len(s), 4)}
+    return rec
+
+
+def main() -> None:
+    t_end = time.time() + HOURS * 3600
+    nxt = HI  # short leg first: more likely to fit inside a clean window
+    while time.time() < t_end:
+        q1 = quantum()
+        if q1 > CLEAN or load1() > 1.5:
+            time.sleep(25)
+            continue
+        time.sleep(1.0)
+        q2 = quantum()
+        if q2 > CLEAN:
+            time.sleep(25)
+            continue
+        cpus, nxt = nxt, (LO if nxt == HI else HI)
+        ld = load1()
+        r = run_leg(cpus)
+        rec = {"cpus": cpus, "docs": int(DOCS), "taskset": TASKSET,
+               "kg_secs": r["queries"]["kg_triples"], "rate": r["value"],
+               "n_triples": r["n_triples"],
+               "gate_quantum": [round(q1, 4), round(q2, 4)],
+               "load_before": ld, "load_after": load1(),
+               "cpu_quantum_idle": r.get("cpu_quantum_idle"),
+               "cpu_quantum_during": r.get("cpu_quantum_during"),
+               "watcher_quantum_during": r.get("watcher_quantum_during"),
+               "ts": time.strftime("%H:%M:%S")}
+        with open(OUT, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        print(json.dumps(rec), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -99,9 +99,19 @@ def run_leg(cpus: int) -> dict:
     return rec
 
 
+#: leg schedule, cycled: "hi,lo" alternates; "hi,hi,hi,lo" spends 3 of 4
+#: clean windows on the short hi leg.  Useful once one level's minimum
+#: is established by several tight samples (the lo floor converged to
+#: within 2% across three legs) and the other level is the one still
+#: noise-bound: hi legs are ~3x shorter, so a clean window is ~3x more
+#: likely to cover one end-to-end.
+PATTERN = [s.strip() for s in
+           os.environ.get("WATCH_PATTERN", "hi,lo").split(",")]
+
+
 def main() -> None:
     t_end = time.time() + HOURS * 3600
-    nxt = HI  # short leg first: more likely to fit inside a clean window
+    idx = 0
     while time.time() < t_end:
         q1 = quantum()
         if q1 > CLEAN or load1() > 1.5:
@@ -112,7 +122,8 @@ def main() -> None:
         if q2 > CLEAN:
             time.sleep(25)
             continue
-        cpus, nxt = nxt, (LO if nxt == HI else HI)
+        cpus = HI if PATTERN[idx % len(PATTERN)] == "hi" else LO
+        idx += 1
         ld = load1()
         r = run_leg(cpus)
         rec = {"cpus": cpus, "docs": int(DOCS), "taskset": TASKSET,

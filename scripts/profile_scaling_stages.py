@@ -58,8 +58,8 @@ kn = kg_ops.graph_nodes(wide)
 ke = kg_ops.graph_edges(wide).unionByName(kg_ops.contains_edges(nodes))
 pairs = stage("link_pairs", lambda: kg_ops.entity_link_pairs(kn, kg_ops.l3_candidates(wide), nodes).localCheckpoint(eager=True))
 canon = stage("cc", lambda: kg_ops.connected_components(pairs))
-fe = kg_ops.apply_merges(kn, ke, canon)
-tr = kg_ops.make_triples(fe, kn, canon, nodes)
+fe = stage("merge", lambda: kg_ops.apply_merges(kn, ke, canon))
+tr = stage("triples_plan", lambda: kg_ops.make_triples(fe, kn, canon, nodes))
 stage("triples", lambda: tr.count())
 t["TOTAL_staged"] = round(time.perf_counter()-t0_all, 2)
 t["load_after"] = load1()
@@ -68,7 +68,7 @@ spark.stop()
 '''
 
 STAGES = ["parse", "qualify", "resolve", "extract", "link_pairs", "cc",
-          "triples", "TOTAL_staged"]
+          "merge", "triples_plan", "triples", "TOTAL_staged"]
 
 
 def run(cpus: int) -> dict:

@@ -1859,7 +1859,7 @@ def _pagerank_sql(iters: int = 5, edges: str = None,
         from r{i - 1} join ed on ed.src = r{i - 1}.node
         group by ed.dst) c on c.dst = d.node)""")
     parts.append(f"""
-    select node, rank from r{iters} order by node""")
+    select node, cast(rank as bigint) as rank from r{iters} order by node""")
     return "".join(parts)
 
 

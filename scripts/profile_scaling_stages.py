@@ -100,11 +100,12 @@ def main() -> None:
     lo, hi = LEVELS[0], LEVELS[-1]
     print(f"{'stage':<14}{f'local[{lo}]':>10}{f'local[{hi}]':>10}{'speedup':>9}"
           f"{'fixed_s':>9}")
-    ratio = hi // lo
+    ratio = hi / lo  # real ratio: 4,6 must not truncate to 1 (nor 4,10 to 2)
     for s in STAGES:
         a, b = minima[lo][s], minima[hi][s]
         # per-stage Amdahl fixed term from the two minima:
         # a = ratio*p + t, b = p + t  =>  t = (ratio*b - a) / (ratio - 1)
+        # — the algebra holds for any real ratio > 1
         fixed = (ratio * b - a) / (ratio - 1) if ratio > 1 else 0.0
         print(f"{s:<14}{a:>10.2f}{b:>10.2f}{(a / b if b else 0):>9.2f}"
               f"{max(fixed, 0.0):>9.2f}")

@@ -16,7 +16,12 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-os.environ.setdefault("PSS_DOCS", os.environ.get("POOL_DOCS", "80000"))
+# POOL_DOCS is the documented knob: when set it wins outright, so an
+# inherited PSS_DOCS can never silently override it and skew rec['docs'].
+if os.environ.get("POOL_DOCS"):
+    os.environ["PSS_DOCS"] = os.environ["POOL_DOCS"]
+else:
+    os.environ.setdefault("PSS_DOCS", "80000")
 os.environ.setdefault("PSS_TASKSET", "1")
 
 import profile_scaling_stages as pss  # noqa: E402
@@ -33,8 +38,11 @@ def main() -> None:
         for cpus in PATTERN:
             try:
                 rec = pss.run(cpus)
-            except SystemExit as exc:
-                print(f"leg failed: {exc}", flush=True)
+            except (SystemExit, ValueError, KeyError) as exc:
+                # ValueError covers a child that exits 0 but prints a
+                # stray non-JSON last line; neither may kill a
+                # multi-hour unattended pool run.
+                print(f"leg failed: {exc!r}", flush=True)
                 time.sleep(30)
                 continue
             rec["cpus"] = cpus

@@ -360,16 +360,20 @@ def label_propagation(documents: DataFrame, edges: DataFrame,
     return _finish(labels, scratch)
 
 
-def label_propagation_sql(iters: int = 4) -> str:
+def label_propagation_sql(
+        iters: int = 4,
+        nodes: str = "select doc_id as node from documents") -> str:
     """DuckDB twin of ``label_propagation`` given a CTE ``e(src, dst)``:
     full SELECT yielding (node, label) — chained CTEs, one per round,
-    argmax as row_number over (count desc, label asc)."""
+    argmax as row_number over (count desc, label asc).  ``nodes`` yields
+    (node); like the Spark operator the initial label IS the node id, so
+    the twin is id-type generic (bigint link graph, varchar citation
+    graph)."""
     parts = [f"""
     sym as (select src, dst from e
             union
             select dst as src, src as dst from e),
-    l0 as (select doc_id as node, cast(doc_id as bigint) as label
-           from documents)"""]
+    l0 as (select node, node as label from ({nodes}) _nd)"""]
     for i in range(1, iters + 1):
         parts.append(f""",
     v{i} as (select sym.src as n, l.label, count(*) as c

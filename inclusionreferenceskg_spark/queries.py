@@ -919,60 +919,29 @@ def kg_cocitation(spark, sf_dir):
 # in round 3 follow; rows-only kg_* entries (pytest-gated, no oracle value
 # hash) sit last.
 QUERIES: Dict[str, Callable] = {
-    # -- never driver-checked before round 4 (verdict r3 task #2) --------
-    "graph_edges": graph_edges,
-    "graph_degrees": graph_degrees,
-    "graph_khop": graph_khop,
+    # Standing rotation (round 5 on): an entry keeps a first-50 slot until
+    # driver-green in the CURRENT round, then yields to the entries whose
+    # last driver row is oldest — so every entry gets a driver row at
+    # least every other round.  Order below = scripts/rotate_catalog.py
+    # over CORRECTNESS_r01..r04 (red-last-round first, then never-run,
+    # then stalest-green ascending).
+    # -- red in round 4 (oracle HUGEINT typing, now cast + guard-tested) --
     "graph_pagerank": graph_pagerank,
-    "graph_triangles": graph_triangles,
-    "graph_triangles_skewaware": graph_triangles_skewaware,
-    "graph_sssp": graph_sssp,
-    "graph_communities": graph_communities,
-    "graph_wcc": graph_wcc,
-    "graph_links_degrees": graph_links_degrees,
     "graph_links_pagerank": graph_links_pagerank,
-    "ann_ivf_topk": ann_ivf_topk,
-    "emb_neardup_pairs": emb_neardup_pairs,
-    "multimodal_image_meta": multimodal_image_meta,
-    "multimodal_frame_sample": multimodal_frame_sample,
-    "multimodal_audio_chunks": multimodal_audio_chunks,
-    # -- red in round 3 (oracle typing artifact, now cast) ---------------
-    "docs_pack_shards": docs_pack_shards,
-    # -- new in round 4 ---------------------------------------------------
-    "docs_pack_shards_global": docs_pack_shards_global,
-    # -- driver-green in round 3 ------------------------------------------
-    "q1_pricing_summary": q1_pricing_summary,
-    "q3_top_orders": q3_top_orders,
-    "q_broadcast_part_join": q_broadcast_part_join,
-    "q_window_latest_event": q_window_latest_event,
-    "q_sessionize": q_sessionize,
-    "q_rollup_revenue": q_rollup_revenue,
-    "q_events_json": q_events_json,
-    "q_topk_orders_per_cust": q_topk_orders_per_cust,
-    "q_cube_nation_status": q_cube_nation_status,
-    "q_except_inactive_custs": q_except_inactive_custs,
-    "q_range_join_events": q_range_join_events,
-    "q_suppliers_by_region": q_suppliers_by_region,
-    "q_pivot_status_by_nation": q_pivot_status_by_nation,
-    "q_percentile_prices": q_percentile_prices,
-    "q_semijoin_active_custs": q_semijoin_active_custs,
-    "q_asof_attribution": q_asof_attribution,
-    "q_funnel_conversion": q_funnel_conversion,
-    "q_rolling_7d_revenue": q_rolling_7d_revenue,
-    "q_salted_join_type_stats": q_salted_join_type_stats,
-    "docs_source_composition": docs_source_composition,
-    "docs_token_counts": docs_token_counts,
-    "docs_quality": docs_quality,
-    "docs_lang_id": docs_lang_id,
-    "docs_fingerprints": docs_fingerprints,
-    "docs_ngram_topk": docs_ngram_topk,
-    "docs_tfidf_topk": docs_tfidf_topk,
-    "docs_length_histogram": docs_length_histogram,
-    "corpus_curated": corpus_curated,
-    "corpus_curated_staged": corpus_curated_staged,
-    "docs_pii": docs_pii,
-    "docs_gopher_quality": docs_gopher_quality,
-    "docs_decontaminate": docs_decontaminate,
+    # -- never driver-run: citation analytics (authority/cocitation/
+    #    communities gained generator-replay oracles this round) ---------
+    "kg_citation_authority": kg_citation_authority,
+    "kg_cocitation": kg_cocitation,
+    "kg_communities": kg_communities,
+    "kg_entities": kg_entities,
+    # -- last driver row round 2 (rows-only pipeline stages) --------------
+    "kg_nodes": kg_nodes,
+    "kg_extracted_text": kg_extracted_text,
+    "kg_mentions": kg_mentions,
+    "kg_qualifiers": kg_qualifiers,
+    "kg_resolved": kg_resolved,
+    "kg_triples": kg_triples,
+    # -- last driver row round 3 ------------------------------------------
     "docs_stratified_sample": docs_stratified_sample,
     "docs_inverted_index": docs_inverted_index,
     "dedup_exact": dedup_exact,
@@ -990,17 +959,59 @@ QUERIES: Dict[str, Callable] = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_lsh_topk_sized": ann_lsh_topk_sized,
-    # -- rows-only (no oracle value hash; pytest simulator/invariant-gated)
-    "kg_nodes": kg_nodes,
-    "kg_extracted_text": kg_extracted_text,
-    "kg_mentions": kg_mentions,
-    "kg_qualifiers": kg_qualifiers,
-    "kg_resolved": kg_resolved,
-    "kg_triples": kg_triples,
-    "kg_entities": kg_entities,
-    "kg_citation_authority": kg_citation_authority,
-    "kg_cocitation": kg_cocitation,
-    "kg_communities": kg_communities,
+    # -- green only in round 4 (single corroboration) ---------------------
+    "graph_edges": graph_edges,
+    "graph_degrees": graph_degrees,
+    "graph_khop": graph_khop,
+    "graph_triangles": graph_triangles,
+    "graph_triangles_skewaware": graph_triangles_skewaware,
+    "graph_sssp": graph_sssp,
+    "graph_communities": graph_communities,
+    "graph_wcc": graph_wcc,
+    "graph_links_degrees": graph_links_degrees,
+    "docs_pack_shards": docs_pack_shards,
+    "docs_pack_shards_global": docs_pack_shards_global,
+    # -- green rounds 2+4 (missed round 3) --------------------------------
+    "ann_ivf_topk": ann_ivf_topk,
+    "emb_neardup_pairs": emb_neardup_pairs,
+    "multimodal_image_meta": multimodal_image_meta,
+    "multimodal_frame_sample": multimodal_frame_sample,
+    "multimodal_audio_chunks": multimodal_audio_chunks,
+    # -- green rounds 3+4, shortest history (fills the window to 50) ------
+    "q_pivot_status_by_nation": q_pivot_status_by_nation,
+    "q_percentile_prices": q_percentile_prices,
+    "q_semijoin_active_custs": q_semijoin_active_custs,
+    "q_funnel_conversion": q_funnel_conversion,
+    "q_rolling_7d_revenue": q_rolling_7d_revenue,
+    # ==== driver window (first 50) ends here =============================
+    # -- multi-round green, most corroborated -----------------------------
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_top_orders": q3_top_orders,
+    "q_broadcast_part_join": q_broadcast_part_join,
+    "q_window_latest_event": q_window_latest_event,
+    "q_sessionize": q_sessionize,
+    "q_rollup_revenue": q_rollup_revenue,
+    "q_events_json": q_events_json,
+    "q_topk_orders_per_cust": q_topk_orders_per_cust,
+    "q_cube_nation_status": q_cube_nation_status,
+    "q_except_inactive_custs": q_except_inactive_custs,
+    "q_range_join_events": q_range_join_events,
+    "q_suppliers_by_region": q_suppliers_by_region,
+    "q_asof_attribution": q_asof_attribution,
+    "q_salted_join_type_stats": q_salted_join_type_stats,
+    "docs_source_composition": docs_source_composition,
+    "docs_token_counts": docs_token_counts,
+    "docs_quality": docs_quality,
+    "docs_lang_id": docs_lang_id,
+    "docs_fingerprints": docs_fingerprints,
+    "docs_ngram_topk": docs_ngram_topk,
+    "docs_tfidf_topk": docs_tfidf_topk,
+    "docs_length_histogram": docs_length_histogram,
+    "corpus_curated": corpus_curated,
+    "corpus_curated_staged": corpus_curated_staged,
+    "docs_pii": docs_pii,
+    "docs_gopher_quality": docs_gopher_quality,
+    "docs_decontaminate": docs_decontaminate,
 }
 
 
@@ -1906,6 +1917,70 @@ ORACLES["graph_links_degrees"] = f"""
 
 ORACLES["graph_links_pagerank"] = _pagerank_sql(
     edges=_LINK_EDGES, nodes=_LINK_NODES)
+
+
+def _citation_edges_py(n_docs: int) -> list:
+    """Twin of the resolved cross-document citation graph, independent of
+    the parse/detect/resolve pipeline under test: replay the page
+    GENERATOR (synth.make_doc_text) and regex-extract its cross-document
+    title references — the same recompute-from-the-generator principle as
+    ``_links_oracle_ctes``, just via the generator's Python instead of
+    closed-form arithmetic (the kind-3 draw sites are rng-chosen).
+
+    The rng draw SEQUENCE is filler-independent once the filler has >= 8
+    words: the only filler-coupled draw is ``randrange(0, min(8, len(
+    filler_words)))``, which consumes exactly one getrandbits(3) when the
+    bound is 8 (a power of two - no rejection resampling).  TESTDATA
+    guarantees >= 10 words per document text, so an 8-word dummy filler
+    replays the production draws exactly; tests/test_kg_citations.py
+    pins twin == pipeline edge-for-edge.
+    """
+    import re
+    filler = "w0 w1 w2 w3 w4 w5 w6 w7"
+    pat = re.compile(r"of Regulation \(EU\) No (\d+)/2016")
+    edges = set()
+    for doc_id in range(n_docs):
+        text = synth.make_doc_text(doc_id, n_docs, filler=filler, seed=42)
+        for m in pat.finditer(text):
+            other = int(m.group(1)) - 1
+            if other != doc_id:
+                edges.add((synth.doc_url(doc_id), synth.doc_url(other)))
+    return sorted(edges)
+
+
+def _ensure_citation_oracles() -> None:
+    """Populate the three kg citation-analytics oracles on first use.
+
+    Built lazily, NOT at import: the edge twin replays the generator for
+    every doc under the KG doc limit, and bench imports this module with
+    SPARK_GRAFT_KG_DOCS at 20k-320k where an import-time replay would
+    cost minutes.  Correctness gates (driver + local twin) run at the
+    default limit; above 2000 docs the entries degrade to rows-only,
+    matching the other pipeline-output kg_* entries.
+    """
+    if "kg_citation_authority" in ORACLES:
+        return
+    lim = _kg_doc_limit()
+    if lim > 2000:
+        return
+    edges = _citation_edges_py(lim)
+    if not edges:
+        return
+    vals = ", ".join(f"('{s}', '{d}')" for s, d in edges)
+    cite_edges = f"select * from (values {vals}) as _ce(src, dst)"
+    ORACLES["kg_citation_authority"] = _pagerank_sql(
+        edges=cite_edges, nodes=_LINK_NODES)
+    ORACLES["kg_communities"] = (
+        f"with e as ({cite_edges}),"
+        + graph_ops.label_propagation_sql(iters=4, nodes=_LINK_NODES)
+        + " order by node")
+    ORACLES["kg_cocitation"] = f"""
+        with e as ({cite_edges})
+        select l.dst as a, r.dst as b,
+               count(distinct l.src) as n_cociting
+        from e l join e r on l.src = r.src and l.dst < r.dst
+        group by a, b
+        order by n_cociting desc, a, b"""
 
 ORACLES["graph_triangles"] = f"""
     with e as ({_EDGES}),

@@ -12,7 +12,12 @@ Legs append to a pooled JSONL; the round's evidence is the per-level
 minima across the pool (same adjudication rule as the gated runs).
 
 Env: WATCH_LO/WATCH_HI (cores), WATCH_DOCS, WATCH_CLEAN (quantum bar,
-s), WATCH_HOURS (stop after), WATCH_OUT (jsonl path).
+s), WATCH_HOURS (stop after), WATCH_OUT (jsonl path), WATCH_TRIALS
+(best-of-N inside each leg; default 1 for scaling legs, set 2 + LO=HI=32
++ WATCH_TASKSET=0 to pool the EXACT driver headline protocol — the r4
+verdict's ask: the 20k-doc local[32] record has been burst-hostage three
+rounds running, so the round headline needs the same pooled-minima
+treatment as the scaling pairs).
 """
 
 from __future__ import annotations
@@ -59,9 +64,12 @@ def load1() -> float:
 TASKSET = os.environ.get("WATCH_TASKSET", "") == "1"
 
 
+TRIALS = os.environ.get("WATCH_TRIALS", "1")
+
+
 def run_leg(cpus: int) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
-               SPARK_GRAFT_KG_ONLY="1", SPARK_GRAFT_BENCH_TRIALS="1",
+               SPARK_GRAFT_KG_ONLY="1", SPARK_GRAFT_BENCH_TRIALS=TRIALS,
                SPARK_GRAFT_BENCH_DOCS=DOCS)
     cmd = [sys.executable, os.path.join(REPO, "bench.py")]
     if TASKSET:
@@ -127,6 +135,7 @@ def main() -> None:
         ld = load1()
         r = run_leg(cpus)
         rec = {"cpus": cpus, "docs": int(DOCS), "taskset": TASKSET,
+               "trials": int(TRIALS),
                "kg_secs": r["queries"]["kg_triples"], "rate": r["value"],
                "n_triples": r["n_triples"],
                "gate_quantum": [round(q1, 4), round(q2, 4)],

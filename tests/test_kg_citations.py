@@ -20,6 +20,22 @@ def test_citation_edges_are_cross_document(spark):
     assert len({(r["src"], r["dst"]) for r in rows}) == len(rows)
 
 
+def test_generator_replay_twin_matches_pipeline_edges(spark):
+    """The oracle-side edge twin (_citation_edges_py: generator replay +
+    regex, independent of parse/detect/resolve) must equal the pipeline's
+    resolved citation edges edge-for-edge.  This is the foundation of the
+    kg_citation_authority / kg_cocitation / kg_communities value oracles
+    — and it doubles as a full-recall check on the resolver over the
+    synthetic corpus: every cross-document title reference the generator
+    emitted must come back out of the pipeline."""
+    lim = Q._kg_doc_limit()
+    twin = Q._citation_edges_py(lim)
+    got = sorted((r["src"], r["dst"])
+                 for r in Q._kg_citation_edges(spark, SF).collect())
+    assert got == twin
+    assert len(twin) > 50
+
+
 def test_citation_authority_matches_integer_simulator(spark):
     edges = [(r["src"], r["dst"])
              for r in Q._kg_citation_edges(spark, SF).collect()]

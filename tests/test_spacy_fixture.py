@@ -145,3 +145,85 @@ def test_phrase_extractor_consumes_mapped_sents(sents):
     texts = {o.token.text for ph in ph4
              for o in (ph.agent_objects + ph.patient_objects)}
     assert any("Article 30" in t for t in texts) or len(ph4) >= 1
+
+
+# ---------------------------------------------------------------------------
+# Second fixture class (round-4 verdict task #6): the EXTENSION path —
+# genitive + nested of-chain possessors (N7), an acl-without-subject
+# described_by clause carrying a merged REF token, and a coreferee chain
+# whose antecedent lives in a different sentence (the node-boundary-crossing
+# shape of the concatenated nlp_doc).
+
+FIXTURE_EXT = os.path.join(os.path.dirname(__file__), "fixtures",
+                           "spacy_pinned_ext.json")
+
+
+@pytest.fixture(scope="module")
+def ext_fixture():
+    with open(FIXTURE_EXT) as f:
+        return json.load(f)
+
+
+@pytest.fixture(scope="module")
+def ext_sents(ext_fixture):
+    return asp.doc_to_sents(_Doc(ext_fixture))
+
+
+def test_ext_mapping_is_one_to_one(ext_fixture, ext_sents):
+    rows = [r for s in ext_fixture["sents"] for r in s]
+    toks = [t for s in ext_sents for t in s]
+    assert len(toks) == len(rows) == 39
+    for row, tok in zip(rows, toks):
+        assert (tok.i, tok.text, tok.dep, tok.head_i, tok.idx) == (
+            row["i"], row["text"], row["dep"], row["head"], row["idx"])
+
+
+def test_ext_possessor_chain(ext_sents):
+    """'The controller's representative ... a record of the activities of
+    the enterprise': genitive possessor on the agent, two-level of-chain
+    on the patient (the _extract_possessors stack walk)."""
+    ex = PhraseExtractor(id_prefix="fxe:")
+    (ph,) = ex.extract_from_sentence(ext_sents[0],
+                                    include_extensions=True)
+    assert [p.token.lemma for p in ph.predicate] == ["maintain"]
+    (agent,) = ph.agent_objects
+    assert agent.token.text == "representative"
+    assert [po.token.text for po in agent.possessors] == ["controller"]
+    (patient,) = [po for po in ph.patient_objects
+                  if po.token.text == "record"]
+    (act,) = patient.possessors
+    assert act.token.text == "activities"
+    assert [po.token.text for po in act.possessors] == ["enterprise"]
+
+
+def test_ext_described_by_clause_with_ref(ext_sents):
+    """'the measures adopted under Article 32': the subject-less acl
+    becomes a described_by phrase on the patient, not a top-level phrase,
+    and the merged REF token is reachable inside it."""
+    ex = PhraseExtractor(id_prefix="fxe:")
+    phrases = ex.extract_from_sentence(ext_sents[1],
+                                       include_extensions=True)
+    assert [p.token.lemma for ph in phrases for p in ph.predicate] == \
+        ["assess"]  # the acl phrase is folded away, not emitted top-level
+    (ph,) = phrases
+    (measures,) = [po for po in ph.patient_objects
+                   if po.token.text == "measures"]
+    (desc,) = measures.described_by
+    assert [p.token.lemma for p in desc.predicate] == ["adopt"]
+    ref_objs = [po for po in desc.agent_objects + desc.patient_objects
+                if po.token.is_ref]
+    assert ref_objs and ref_objs[0].token.tag == "REF"
+    assert ref_objs[0].token.ref_targets[0]["node_id"] == "gdpr:art32"
+
+
+def test_ext_cross_sentence_coref(ext_fixture, ext_sents):
+    """'The processor shall keep a register. It shall update ...': the
+    anaphor's antecedent index points into the PREVIOUS sentence; the
+    rewrite must fetch it through the doc-global index (the shape that
+    crosses node boundaries in the concatenated nlp_doc)."""
+    toks = [t for s in ext_sents for t in s]
+    assert toks[32].coref == [26]
+    ex = PhraseExtractor(id_prefix="fxe:")
+    (ph,) = ex.extract_from_sentence(ext_sents[3])
+    (agent,) = ph.agent_objects
+    assert agent.token.text == "processor" and agent.token.i == 26

@@ -22,8 +22,10 @@ def summarize(path: str) -> dict:
     if not legs:
         raise SystemExit(f"no legs in {path}")
     levels = sorted({l["cpus"] for l in legs})
+    if len(levels) == 1:
+        return _summarize_headline(legs, levels[0])
     if len(levels) != 2:
-        raise SystemExit(f"expected exactly 2 levels, got {levels}")
+        raise SystemExit(f"expected 1 or 2 levels, got {levels}")
     lo_c, hi_c = levels
     docs = {l["docs"] for l in legs}
     if len(docs) != 1:
@@ -62,6 +64,32 @@ def summarize(path: str) -> dict:
         "speedup": round(lo["kg_secs"] / hi["kg_secs"], 2),
         "efficiency_raw": round(raw, 3),
         "efficiency_meter_normalized": round(norm, 3),
+    }
+
+
+def _summarize_headline(legs: list, cpus: int) -> dict:
+    """Single-level pool = the driver headline protocol run as pooled
+    quantum-gated legs (r4 verdict task #3): the record is the fastest
+    leg, with its own meter stamps so a burst-free floor is
+    self-evidencing — the pooled answer to three rounds of
+    load-hostage one-shot headline records."""
+    best = min(legs, key=lambda l: l["kg_secs"])
+    during = best.get("watcher_quantum_during", {}) or \
+        best.get("cpu_quantum_during", {})
+    return {
+        "protocol": ("driver headline protocol (warm-started best-of-"
+                     f"{best.get('trials', 1)}, local[{cpus}]) as "
+                     "quantum-gated pooled legs; record = fastest leg"),
+        "docs": best["docs"],
+        "cpus": cpus,
+        "n_legs": len(legs),
+        "rate": best["rate"],
+        "kg_secs": best["kg_secs"],
+        "n_triples": best["n_triples"],
+        "gate_quantum": best.get("gate_quantum"),
+        "best_leg_meter_during": during,
+        "quantum_floor": QUANTUM_FLOOR,
+        "all_rates": sorted((l["rate"] for l in legs), reverse=True),
     }
 
 

@@ -133,7 +133,16 @@ def main() -> None:
         cpus = HI if PATTERN[idx % len(PATTERN)] == "hi" else LO
         idx += 1
         ld = load1()
-        r = run_leg(cpus)
+        try:
+            r = run_leg(cpus)
+        except (subprocess.CalledProcessError, ValueError,
+                KeyError) as exc:
+            # a failed or garbled leg must not kill a multi-hour
+            # unattended pool (e.g. a child launched against a
+            # mid-edit working tree); log and wait for the next window
+            print(f"leg failed: {exc!r}", flush=True)
+            time.sleep(30)
+            continue
         rec = {"cpus": cpus, "docs": int(DOCS), "taskset": TASKSET,
                "trials": int(TRIALS),
                "kg_secs": r["queries"]["kg_triples"], "rate": r["value"],

@@ -92,11 +92,13 @@ def run_leg(cpus: int) -> dict:
     mt = threading.Thread(target=_meter, daemon=True)
     mt.start()
     try:
-        out = subprocess.run(cmd, env=env, capture_output=True, text=True,
-                             check=True)
+        out = subprocess.run(cmd, env=env, capture_output=True, text=True)
     finally:
         done.set()
         mt.join(timeout=5)
+    if out.returncode != 0:
+        sys.stderr.write(out.stderr[-3000:] + "\n")
+        raise subprocess.CalledProcessError(out.returncode, cmd)
     rec = json.loads(out.stdout.strip().splitlines()[-1])
     if samples:
         s = sorted(samples)

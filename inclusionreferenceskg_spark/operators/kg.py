@@ -79,51 +79,23 @@ def extract_graph(nodes: DataFrame, resolved: DataFrame,
     span node boundaries (``nlp_doc``, kg_renderer.py:129-181).  One shuffle
     on url; group size is bounded by a single page's node count.
     """
-    # ONE shuffle of the wide UDF input, not three: the former plan
-    # (groupBy targets-agg on resolved, join on (url, node_id), then
-    # repartition(url)) exchanged the corpus-scale nodes projection twice
-    # and the resolved table twice — measured as extract's dominant
-    # non-CPU cost at 16 cores (disk-bound shuffle write+read of ~244 MB
-    # at 80k docs).  Instead, tag node rows 'n' and resolved-mention rows
-    # 'm' into one union and hash-partition by url ONCE; the sort puts
-    # every mention row before every node row within a url ('m' < 'n'),
-    # so the UDF assembles the per-node target map from the stream with
-    # per-document semantics identical to the old collect_list + join.
-    r_dt = dict(resolved.dtypes)
-    n_rows = nodes.select(
-        "url", "node_id", "seq", "content", "para_key",
-        F.lit("n").alias("row_tag"),
-        F.lit(None).cast(r_dt["mention_idx"]).alias("mention_idx"),
-        F.lit(None).cast(r_dt["qual_idx"]).alias("qual_idx"),
-        F.lit(None).cast(r_dt["start"]).alias("start"),
-        F.lit(None).cast(r_dt["text"]).alias("m_text"),
-        F.lit(None).cast(r_dt["target_node_id"]).alias("target_node_id"),
-        F.lit(None).cast(r_dt["target_url"]).alias("target_url"))
-    n_dt = dict(nodes.dtypes)
-    m_rows = resolved.select(
-        "url", "node_id", "seq",
-        F.lit(None).cast(n_dt["content"]).alias("content"),
-        F.lit(None).cast(n_dt["para_key"]).alias("para_key"),
-        F.lit("m").alias("row_tag"),
-        "mention_idx", "qual_idx", "start",
-        F.col("text").alias("m_text"),
-        "target_node_id", "target_url")
+    targets = (resolved
+               .groupBy("url", "node_id")
+               .agg(F.collect_list(F.struct("mention_idx", "qual_idx",
+                                            "start", "text",
+                                            "target_node_id", "target_url"))
+                    .alias("mention_targets")))
+    src = (nodes.select("url", "node_id", "seq", "content", "para_key")
+           .join(targets, ["url", "node_id"], "left"))
 
-    # mapInPandas over url-partitioned, sorted batches instead of
-    # groupBy().applyInPandas: one Arrow stream per PARTITION rather
+    # mapInPandas over url-partitioned, (url, seq)-sorted batches instead
+    # of groupBy().applyInPandas: one Arrow stream per PARTITION rather
     # than one pandas round-trip per PAGE (tens of thousands of tiny
     # groups), with documents carried over across batch boundaries.  Same
-    # per-document semantics; far less per-group overhead.  ~4 tasks per
-    # core (not 2): per-document UDF cost varies, and two waves of long
-    # tasks quantize badly — the straggler tail of the final wave was a
-    # measured piece of the 16-core fixed overhead (same sizing rule as
-    # synth.pages_from_documents).
+    # per-document semantics; far less per-group overhead.
     spark = nodes.sparkSession
-    npart = max(spark.sparkContext.defaultParallelism * 4, 8)
-    src = (n_rows.unionByName(m_rows)
-           .repartition(npart, "url")
-           .sortWithinPartitions("url", "row_tag", "seq",
-                                 "mention_idx", "qual_idx"))
+    npart = max(spark.sparkContext.defaultParallelism * 2, 8)
+    src = src.repartition(npart, "url").sortWithinPartitions("url", "seq")
 
     def run_iter(batches):
         blank = dict.fromkeys(_COLS)
@@ -131,16 +103,9 @@ def extract_graph(nodes: DataFrame, resolved: DataFrame,
         cur_url = None
         node_rows = []
         mentions_by_node = {}
-        # per-url target map, filled by the 'm' rows that precede the
-        # url's node rows in the sorted stream: node_id -> {(start, text)
-        # -> [target dicts]} in (mention_idx, qual_idx) stream order —
-        # byte-identical to the former sorted-collect_list assembly
-        # (numeric dict keys compare by value, so an Arrow float64 start
-        # meets detect()'s int start correctly)
-        tmap_by_node = {}
 
         def flush():
-            nonlocal node_rows, mentions_by_node, tmap_by_node
+            nonlocal node_rows, mentions_by_node
             if cur_url is None or not node_rows:
                 return
             rows = render_document(cur_url, node_rows, mentions_by_node,
@@ -153,29 +118,26 @@ def extract_graph(nodes: DataFrame, resolved: DataFrame,
                 out.append({**blank, "row_kind": "l3", **r})
             node_rows = []
             mentions_by_node = {}
-            tmap_by_node = {}
 
         for pdf in batches:
-            for url, node_id, content, para_key, tag, start, m_text, \
-                    t_nid, t_url in zip(
+            for url, node_id, content, para_key, tgt in zip(
                     pdf["url"], pdf["node_id"], pdf["content"],
-                    pdf["para_key"], pdf["row_tag"], pdf["start"],
-                    pdf["m_text"], pdf["target_node_id"],
-                    pdf["target_url"]):
+                    pdf["para_key"], pdf["mention_targets"]):
                 if url != cur_url:
                     flush()
                     cur_url = url
-                if tag == "m":
-                    tmap_by_node.setdefault(node_id, {}).setdefault(
-                        (start, m_text), []).append(
-                        {"node_id": t_nid, "url": t_url})
-                    continue
                 node_rows.append({"node_id": node_id, "content": content,
                                   "para_key": para_key})
                 mentions = detect(content or "")
                 if not mentions:
                     continue
-                tmap = tmap_by_node.get(node_id) or {}
+                tmap = {}
+                if tgt is not None and len(tgt):
+                    for t in sorted(tgt, key=lambda x: (x["mention_idx"],
+                                                        x["qual_idx"])):
+                        tmap.setdefault((t["start"], t["text"]), []).append(
+                            {"node_id": t["target_node_id"],
+                             "url": t["target_url"]})
                 for m in mentions:
                     m["targets"] = tmap.get((m["start"], m["text"]), [])
                 mentions_by_node[node_id] = mentions

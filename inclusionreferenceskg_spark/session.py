@@ -67,6 +67,24 @@ def get_spark(app_name: str = "inclusionreferenceskg-spark",
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory",
                 os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Arrow's IPC readers/writers pin byte arrays via JNI critical
+        # sections; under co-tenant CPU pressure G1's GCLocker can starve
+        # an allocating task past the default 2 retries and throw a FAKE
+        # "Java heap space" OOM with gigabytes free ("Retried waiting for
+        # GCLocker too often" — reproduced 3× on the 320k-doc 16-core leg
+        # at both 32g and 48g heaps, in whichever Arrow-heavy stage was
+        # running when a burst hit; the identical plan passes in quiet
+        # windows).  Raising the retry count is the documented JDK
+        # mitigation and applies to any Arrow-UDF-heavy Spark job, local
+        # or cluster.
+        .config("spark.driver.extraJavaOptions",
+                os.environ.get("IRKG_DRIVER_JAVA_OPTS",
+                               "-XX:+UnlockDiagnosticVMOptions "
+                               "-XX:GCLockerRetryAllocationCount=64"))
+        .config("spark.executor.extraJavaOptions",
+                os.environ.get("IRKG_EXECUTOR_JAVA_OPTS",
+                               "-XX:+UnlockDiagnosticVMOptions "
+                               "-XX:GCLockerRetryAllocationCount=64"))
     )
     # The annotator is selected per executor process inside the pandas UDFs
     # (functions/annotate_spacy.get_annotator reads these), so a driver-side
